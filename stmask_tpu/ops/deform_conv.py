@@ -1,0 +1,102 @@
+"""Deformable convolution v1/v2 for TPU.
+
+Replaces the two CUDA dependencies of the reference:
+  * DCNv2 (modulated; backbone bottleneck conv2 — reference ``backbone.py:20-26``,
+    CharlesShang/DCNv2 build),
+  * ``mmcv.ops.DeformConv2d`` (v1, externally supplied offsets, rectangular
+    3x5/5x3 kernels — reference ``layers/modules/Featurealign.py:27-31``).
+
+Formulation: per kernel tap k, bilinear-gather the input at
+``p + p_k + Δp_k`` (optionally scaled by a modulation mask m_k), stack the K
+gathered maps, and contract against the [K*Cin, Cout] weight with one matmul —
+the gather feeds the MXU instead of an im2col loop.  Offset channel layout
+matches torch: ``(dy, dx)`` interleaved per tap, taps row-major over (kh, kw)
+(reference ``Featurealign.py:67-69`` builds exactly this layout).
+
+This is the pure-JAX (XLA gather) path; a fused Pallas kernel can swap in
+underneath without changing the interface.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .sampling import bilinear_sample
+
+
+def deform_conv2d(x: jax.Array,
+                  offset: jax.Array,
+                  weight: jax.Array,
+                  mask: Optional[jax.Array] = None,
+                  bias: Optional[jax.Array] = None,
+                  stride: int = 1,
+                  dilation: int = 1) -> jax.Array:
+    """Deformable conv (v2 when ``mask`` is given, else v1).
+
+    Args:
+      x: [B, H, W, Cin].
+      offset: [B, Ho, Wo, 2*K] with (dy, dx) interleaved per tap.
+      weight: [kh, kw, Cin, Cout] (HWIO).
+      mask: optional [B, Ho, Wo, K] modulation (already sigmoid-ed).
+      stride / dilation: ints (symmetric); padding is the usual
+        ``(k-1)//2 * dilation`` "same" padding of the reference convs.
+    Returns:
+      [B, Ho, Wo, Cout].
+    """
+    b, h, w, cin = x.shape
+    kh, kw, _, cout = weight.shape
+    k = kh * kw
+    _, ho, wo, _ = offset.shape
+
+    pad_h = (kh - 1) // 2 * dilation
+    pad_w = (kw - 1) // 2 * dilation
+
+    # base sampling grid per output position and tap
+    oy = jnp.arange(ho, dtype=jnp.float32) * stride - pad_h
+    ox = jnp.arange(wo, dtype=jnp.float32) * stride - pad_w
+    ky = jnp.arange(kh, dtype=jnp.float32) * dilation
+    kx = jnp.arange(kw, dtype=jnp.float32) * dilation
+    base_y = oy[:, None, None, None] + ky[None, None, :, None]   # [Ho,1,kh,1]
+    base_x = ox[None, :, None, None] + kx[None, None, None, :]   # [1,Wo,1,kw]
+    base_y = jnp.broadcast_to(base_y, (ho, wo, kh, kw)).reshape(ho, wo, k)
+    base_x = jnp.broadcast_to(base_x, (ho, wo, kh, kw)).reshape(ho, wo, k)
+
+    off = offset.reshape(b, ho, wo, k, 2)
+    ys = base_y[None] + off[..., 0]                              # [B,Ho,Wo,K]
+    xs = base_x[None] + off[..., 1]
+
+    def sample_one(img, ys_i, xs_i, mask_i):
+        vals = bilinear_sample(img, ys_i, xs_i)                  # [Ho,Wo,K,C]
+        if mask_i is not None:
+            vals = vals * mask_i[..., None]
+        return vals
+
+    if mask is not None:
+        vals = jax.vmap(sample_one, in_axes=(0, 0, 0, 0))(x, ys, xs, mask)
+    else:
+        vals = jax.vmap(lambda i, y_, x_: sample_one(i, y_, x_, None))(
+            x, ys, xs)
+
+    vals = vals.reshape(b, ho, wo, k * cin)
+    out = jnp.dot(vals, weight.reshape(k * cin, cout),
+                  preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def dcn_v2_offsets(conv_out: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Split a DCNv2 ``conv_offset_mask`` output [B,H,W,3K] into
+    (offset [B,H,W,2K], mask [B,H,W,K]) with the torch channel layout:
+    first K channels dy, next K dx, last K mask logits (CharlesShang DCNv2
+    chunks into o1, o2, mask and concatenates (o1, o2))."""
+    o1 = conv_out[..., :k]
+    o2 = conv_out[..., k:2 * k]
+    m = jax.nn.sigmoid(conv_out[..., 2 * k:])
+    # interleave (dy, dx) per tap to the canonical layout
+    off = jnp.stack([o1, o2], axis=-1).reshape(
+        conv_out.shape[:-1] + (2 * k,))
+    return off, m

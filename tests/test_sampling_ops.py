@@ -1,0 +1,175 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stmask_tpu.ops.sampling import bilinear_sample
+from stmask_tpu.ops.deform_conv import deform_conv2d, dcn_v2_offsets
+from stmask_tpu.ops.correlation import correlate
+from stmask_tpu.ops.roi_align import roi_align
+
+
+def test_bilinear_sample_exact_at_integers():
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(6, 7, 3).astype(np.float32))
+    ys = jnp.asarray([[0.0, 2.0], [5.0, 3.0]])
+    xs = jnp.asarray([[0.0, 4.0], [6.0, 1.0]])
+    out = np.asarray(bilinear_sample(img, ys, xs))
+    np.testing.assert_allclose(out[0, 0], np.asarray(img)[0, 0], atol=1e-6)
+    np.testing.assert_allclose(out[0, 1], np.asarray(img)[2, 4], atol=1e-6)
+    np.testing.assert_allclose(out[1, 0], np.asarray(img)[5, 6], atol=1e-6)
+
+
+def test_bilinear_sample_interpolates():
+    img = jnp.asarray(np.arange(16, dtype=np.float32).reshape(4, 4, 1))
+    out = np.asarray(bilinear_sample(img, jnp.asarray([1.5]),
+                                     jnp.asarray([1.5])))
+    # average of img[1,1], img[1,2], img[2,1], img[2,2] = (5+6+9+10)/4
+    np.testing.assert_allclose(out[0, 0], 7.5, atol=1e-6)
+
+
+def test_bilinear_sample_out_of_bounds_zero():
+    img = jnp.ones((4, 4, 2))
+    out = np.asarray(bilinear_sample(img, jnp.asarray([-2.0, 10.0]),
+                                     jnp.asarray([1.0, 1.0])))
+    np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+
+def _np_conv2d_same(x, w, stride=1):
+    """naive NHWC conv with 'same' padding for the zero-offset parity check."""
+    b, h, wdt, cin = x.shape
+    kh, kw, _, cout = w.shape
+    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+    xp = np.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    ho = (h - 1) // stride + 1
+    wo = (wdt - 1) // stride + 1
+    out = np.zeros((b, ho, wo, cout), np.float32)
+    for i in range(ho):
+        for j in range(wo):
+            patch = xp[:, i * stride:i * stride + kh,
+                       j * stride:j * stride + kw, :]
+            out[:, i, j, :] = np.tensordot(patch, w, axes=([1, 2, 3],
+                                                           [0, 1, 2]))
+    return out
+
+
+def test_deform_conv_zero_offset_equals_conv():
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 8, 9, 4).astype(np.float32)
+    w = rng.randn(3, 3, 4, 6).astype(np.float32)
+    off = np.zeros((2, 8, 9, 18), np.float32)
+    out = np.asarray(deform_conv2d(jnp.asarray(x), jnp.asarray(off),
+                                   jnp.asarray(w)))
+    ref = _np_conv2d_same(x, w)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_deform_conv_zero_offset_stride2():
+    rng = np.random.RandomState(2)
+    x = rng.randn(1, 8, 8, 3).astype(np.float32)
+    w = rng.randn(3, 3, 3, 5).astype(np.float32)
+    off = np.zeros((1, 4, 4, 18), np.float32)
+    out = np.asarray(deform_conv2d(jnp.asarray(x), jnp.asarray(off),
+                                   jnp.asarray(w), stride=2))
+    ref = _np_conv2d_same(x, w, stride=2)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_deform_conv_rectangular_kernel():
+    rng = np.random.RandomState(3)
+    x = rng.randn(1, 6, 6, 2).astype(np.float32)
+    w = rng.randn(3, 5, 2, 4).astype(np.float32)
+    off = np.zeros((1, 6, 6, 30), np.float32)
+    out = np.asarray(deform_conv2d(jnp.asarray(x), jnp.asarray(off),
+                                   jnp.asarray(w)))
+    ref = _np_conv2d_same(x, w)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_deform_conv_integer_offset_shifts():
+    # a (dy=0, dx=1) offset on a 1x1 kernel samples the right neighbor
+    rng = np.random.RandomState(4)
+    x = rng.randn(1, 5, 5, 2).astype(np.float32)
+    w = np.eye(2, dtype=np.float32).reshape(1, 1, 2, 2)
+    off = np.zeros((1, 5, 5, 2), np.float32)
+    off[..., 1] = 1.0  # dx = 1
+    out = np.asarray(deform_conv2d(jnp.asarray(x), jnp.asarray(off),
+                                   jnp.asarray(w)))
+    np.testing.assert_allclose(out[0, :, :-1], x[0, :, 1:], atol=1e-5)
+    np.testing.assert_allclose(out[0, :, -1], 0.0, atol=1e-5)  # border zero
+
+
+def test_deform_conv_modulation_scales():
+    rng = np.random.RandomState(5)
+    x = rng.randn(1, 4, 4, 3).astype(np.float32)
+    w = rng.randn(1, 1, 3, 3).astype(np.float32)
+    off = np.zeros((1, 4, 4, 2), np.float32)
+    mask_half = np.full((1, 4, 4, 1), 0.5, np.float32)
+    out_full = np.asarray(deform_conv2d(jnp.asarray(x), jnp.asarray(off),
+                                        jnp.asarray(w)))
+    out_half = np.asarray(deform_conv2d(jnp.asarray(x), jnp.asarray(off),
+                                        jnp.asarray(w),
+                                        mask=jnp.asarray(mask_half)))
+    np.testing.assert_allclose(out_half, 0.5 * out_full, atol=1e-5)
+
+
+def test_dcn_v2_offset_split_layout():
+    conv_out = np.zeros((1, 2, 2, 27), np.float32)
+    conv_out[..., 0] = 3.0      # dy of tap 0
+    conv_out[..., 9] = 5.0      # dx of tap 0
+    off, m = dcn_v2_offsets(jnp.asarray(conv_out), 9)
+    assert off.shape == (1, 2, 2, 18)
+    np.testing.assert_allclose(np.asarray(off)[0, 0, 0, 0], 3.0)
+    np.testing.assert_allclose(np.asarray(off)[0, 0, 0, 1], 5.0)
+    np.testing.assert_allclose(np.asarray(m), 0.5)  # sigmoid(0)
+
+
+def _np_correlate(x1, x2, patch):
+    b, h, w, c = x1.shape
+    r = (patch - 1) // 2
+    x2p = np.pad(x2, ((0, 0), (r, r), (r, r), (0, 0)))
+    out = np.zeros((b, h, w, patch * patch), np.float32)
+    for dy in range(patch):
+        for dx in range(patch):
+            shifted = x2p[:, dy:dy + h, dx:dx + w, :]
+            out[..., dy * patch + dx] = (x1 * shifted).sum(-1)
+    out = out / c
+    return np.where(out > 0, out, 0.1 * out)
+
+
+def test_correlate_matches_numpy():
+    rng = np.random.RandomState(6)
+    x1 = rng.randn(2, 6, 7, 8).astype(np.float32)
+    x2 = rng.randn(2, 6, 7, 8).astype(np.float32)
+    out = np.asarray(correlate(jnp.asarray(x1), jnp.asarray(x2), 5))
+    ref = _np_correlate(x1, x2, 5)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_correlate_identity_peak():
+    # identical frames: zero-displacement channel should dominate
+    rng = np.random.RandomState(7)
+    x = rng.randn(1, 8, 8, 16).astype(np.float32)
+    out = np.asarray(correlate(jnp.asarray(x), jnp.asarray(x), 11,
+                               apply_activation=False))
+    center = 5 * 11 + 5
+    interior = out[0, 5:-5, 5:-5]  # away from zero-padding effects
+    assert np.all(interior[..., center][..., None]
+                  >= interior - 1e-5)
+
+
+def test_roi_align_constant_map():
+    feat = jnp.ones((16, 16, 3)) * 2.5
+    rois = jnp.asarray([[2.0, 2.0, 10.0, 10.0]])
+    out = np.asarray(roi_align(feat, rois, pool_size=7))
+    assert out.shape == (1, 7, 7, 3)
+    np.testing.assert_allclose(out, 2.5, atol=1e-5)
+
+
+def test_roi_align_gradient_map():
+    # linear ramp in x: pooled values should increase along x and be exact
+    h = w = 16
+    ramp = np.broadcast_to(np.arange(w, dtype=np.float32), (h, w))[..., None]
+    rois = jnp.asarray([[4.0, 4.0, 12.0, 12.0]])
+    out = np.asarray(roi_align(jnp.asarray(ramp), rois, pool_size=4))[0, 0, :, 0]
+    # bin centers at x = 4 - 0.5 + (i + 0.5) * 2 -> 4.5, 6.5, 8.5, 10.5
+    np.testing.assert_allclose(out, [4.5, 6.5, 8.5, 10.5], atol=1e-5)
