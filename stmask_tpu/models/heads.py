@@ -1,0 +1,181 @@
+"""FCA multi-kernel prediction head + FCB deformable feature alignment.
+
+Re-design of reference ``layers/modules/prediction_head_FC.py:13-247`` and
+``layers/modules/Featurealign.py:6-74``.  One flax module is *applied* to
+every FPN level (the reference builds five modules that alias the first's
+parameters — ``STMask.py:88-100`` with ``share_prediction_module=True``);
+true functional sharing replaces the parent-aliasing hack.
+
+Per head bank k in {3x3, 3x5, 5x3} (the kernel-shaped FCA anchors), the head
+emits: centerness (tanh), box regression (4), class scores, a 128-d L2
+normalized tracking embedding, and 32 mask coefficients.  FCB (when enabled)
+aligns the classification features with a deformable conv whose offsets come
+from the detached box regression — predicted by a 1x1 conv (``ada``) or
+derived analytically from the box deltas (``ali``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import STMaskConfig
+from ..ops.deform_conv import deform_conv2d
+
+
+def _ali_offsets(shape: jax.Array, ks: Tuple[int, int]) -> jax.Array:
+    """Analytic FCB offsets from box deltas (reference Featurealign.py:46-69).
+
+    Args:
+      shape: [B, H, W, 4] detached box regression (dx, dy, dw, dh).
+    Returns:
+      [B, H, W, 2*kh*kw] offsets, (dy, dx) interleaved per tap, row-major.
+    """
+    ks_h, ks_w = ks
+    k = ks_h * ks_w
+    v0, v1 = 0.1, 0.2
+    dx = shape[..., 0] * v0 * ks_w                       # [B, H, W]
+    dy = shape[..., 1] * v0 * ks_h
+    dw = jnp.exp(shape[..., 2] * v1) - 1.0
+    dh = jnp.exp(shape[..., 3] * v1) - 1.0
+
+    # integer tap grid offsets: rows in [-(kh//2)+?] — reference uses
+    # arange(-ks//2+1, ks//2+1) which for odd k is [-(k-1)/2 .. (k-1)/2]
+    ry = jnp.arange(-(ks_h // 2), ks_h // 2 + 1, dtype=jnp.float32)
+    rx = jnp.arange(-(ks_w // 2), ks_w // 2 + 1, dtype=jnp.float32)
+    grid_y = jnp.repeat(ry, ks_w)                        # [k] row-major
+    grid_x = jnp.tile(rx, ks_h)
+
+    off_y = dy[..., None] + dh[..., None] * grid_y       # [B, H, W, k]
+    off_x = dx[..., None] + dw[..., None] * grid_x
+    return jnp.stack([off_y, off_x], axis=-1).reshape(
+        shape.shape[:-1] + (2 * k,))
+
+
+class FeatureAlign(nn.Module):
+    """FCB: deformable alignment driven by the box branch
+    (reference Featurealign.py)."""
+    out_channels: int
+    kernel_size: Tuple[int, int]
+    use_pred_offset: bool = True     # ada=True, ali=False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, shape: jax.Array) -> jax.Array:
+        ks_h, ks_w = self.kernel_size
+        k = ks_h * ks_w
+        shape = jax.lax.stop_gradient(shape)
+        if self.use_pred_offset:
+            offset = nn.Conv(2 * k, (1, 1), use_bias=False,
+                             kernel_init=nn.initializers.zeros,
+                             name='conv_offset')(shape)
+        else:
+            offset = _ali_offsets(shape, self.kernel_size)
+
+        in_ch = x.shape[-1]
+        weight = self.param('adaption_kernel',
+                            nn.initializers.normal(0.01),
+                            (ks_h, ks_w, in_ch, in_ch))
+        x = nn.relu(deform_conv2d(x, offset, weight))
+        pad = ((ks_h - 1) // 2, (ks_w - 1) // 2)
+        return nn.Conv(self.out_channels, (ks_h, ks_w), padding=pad,
+                       name='conv')(x)
+
+
+class PredictionHead(nn.Module):
+    """Shared FCA head applied per FPN level."""
+    cfg: STMaskConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Dict[str, jax.Array]:
+        c = self.cfg
+        b, h, w, _ = x.shape
+        n_scales = len(c.pred_scales[0])
+
+        # upfeature (extra_head_net): conv 3x3 256 + relu
+        x = nn.relu(nn.Conv(c.extra_head_net_channels, (3, 3), padding=1,
+                            name='upfeature')(x))
+        t2s_feat = x
+
+        def extra(branch: str, n_layers: int, inp: jax.Array) -> jax.Array:
+            y = inp
+            for i in range(n_layers):
+                y = nn.relu(nn.Conv(y.shape[-1], (3, 3), padding=1,
+                                    name=f'{branch}_extra_{i}')(y))
+            return y
+
+        conf_x = extra('conf', c.extra_layers[0], x)
+        bbox_x = extra('bbox', c.extra_layers[1], x)
+        track_x = extra('track', c.extra_layers[2], x)
+        mask_x = extra('mask', c.extra_layers[3], x)
+
+        bbox_banks, conf_banks, center_banks = [], [], []
+        track_banks, maskc_banks = [], []
+        for k_idx, (kh, kw) in enumerate(c.head_kernel_sizes):
+            pad = ((kh - 1) // 2, (kw - 1) // 2)
+
+            bbox_cur = nn.Conv(n_scales * 4, (kh, kw), padding=pad,
+                               name=f'bbox_layer_{k_idx}')(bbox_x)
+            bbox_banks.append(bbox_cur)
+
+            if c.train_centerness:
+                cent = nn.Conv(n_scales, (kh, kw), padding=pad,
+                               name=f'centerness_layer_{k_idx}')(bbox_x)
+                center_banks.append(cent)
+
+            if c.use_dcn_class:
+                conf_cur = FeatureAlign(
+                    n_scales * c.num_classes, (kh, kw),
+                    use_pred_offset=c.use_pred_offset,
+                    name=f'conf_align_{k_idx}')(conf_x, bbox_cur)
+            else:
+                conf_cur = nn.Conv(n_scales * c.num_classes, (kh, kw),
+                                   padding=pad,
+                                   name=f'conf_layer_{k_idx}')(conf_x)
+            conf_banks.append(conf_cur)
+
+            if c.use_dcn_track:
+                track_cur = FeatureAlign(
+                    n_scales * c.embed_dim, (kh, kw),
+                    use_pred_offset=c.use_pred_offset,
+                    name=f'track_align_{k_idx}')(track_x, bbox_cur)
+            else:
+                track_cur = nn.Conv(n_scales * c.embed_dim, (kh, kw),
+                                    padding=pad,
+                                    name=f'track_layer_{k_idx}')(track_x)
+            track_banks.append(track_cur)
+
+            if c.use_dcn_mask:
+                mask_cur = FeatureAlign(
+                    n_scales * c.mask_proto_n, (kh, kw),
+                    use_pred_offset=c.use_pred_offset,
+                    name=f'mask_align_{k_idx}')(mask_x, bbox_cur)
+            else:
+                mask_cur = nn.Conv(n_scales * c.mask_proto_n, (kh, kw),
+                                   padding=pad,
+                                   name=f'mask_layer_{k_idx}')(mask_x)
+            maskc_banks.append(mask_cur)
+
+        # Anchor interleave: per spatial position, banks are contiguous, then
+        # scales (reference cats bank outputs channel-last then views to
+        # [B, h*w*banks*scales, dim], prediction_head_FC.py:185-195).
+        def interleave(banks, dim):
+            banks = [bk.reshape(b, h * w, n_scales, dim) for bk in banks]
+            y = jnp.stack(banks, axis=2)       # [B, hw, banks, scales, dim]
+            return y.reshape(b, -1, dim)
+
+        out = {
+            'loc': interleave(bbox_banks, 4),
+            'conf': interleave(conf_banks, c.num_classes),
+            'mask_coeff': interleave(maskc_banks, c.mask_proto_n),
+            'T2S_feat': t2s_feat,
+        }
+        if c.train_centerness:
+            out['centerness'] = jnp.tanh(interleave(center_banks, 1))
+        if c.train_track:
+            track = interleave(track_banks, c.embed_dim)
+            norm = jnp.linalg.norm(track, axis=-1, keepdims=True)
+            out['track'] = track / jnp.maximum(norm, 1e-12)
+        return out

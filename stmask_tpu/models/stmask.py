@@ -1,0 +1,112 @@
+"""STMask model assembly (reference ``STMask.py:19-330``), TPU-native.
+
+backbone -> FPN(P3..P7) -> { ProtoNet on P3, shared FCA head per level,
+TemporalNet for the TF branch }.  The module is purely functional: the
+train path takes a [B, 2, H, W, 3] two-frame clip and returns flat
+prediction tensors plus the cross-frame correlation features; the eval path
+takes single frames and returns everything the detection/tracking pipeline
+needs.  NMS and tracking live outside the module (``stmask_tpu.inference``)
+so they can be fused into a single jitted video step.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import STMaskConfig
+from ..ops.correlation import correlate
+from .backbone import ResNetBackbone
+from .fpn import FPN
+from .heads import PredictionHead
+from .layers import MakeNet
+from .temporal import TemporalNet
+
+# ProtoNet spec (reference config.py:667 'mask_proto_net'):
+# 3x conv(256,3) -> bilinear x2 -> conv(256,3) -> conv(32,1), last relu
+# stripped (STMask.py:60 include_last_relu=False); prototype activation
+# (relu) applied after (STMask.py:233-234).
+_PROTO_SPEC = ((256, 3, 1), (256, 3, 1), (256, 3, 1), (None, -2, 0),
+               (256, 3, 1), (32, 1, 0))
+
+
+class STMask(nn.Module):
+    cfg: STMaskConfig
+
+    def setup(self):
+        c = self.cfg
+        self.backbone = ResNetBackbone(c.backbone, name='backbone')
+        self.fpn = FPN(c.fpn, name='fpn')
+        self.proto_net = MakeNet(_PROTO_SPEC, include_last_relu=False,
+                                 name='proto_net')
+        self.prediction_head = PredictionHead(c, name='prediction_head')
+        if c.temporal_fusion_module:
+            self.temporal_net = TemporalNet(c.mask_proto_n,
+                                            name='temporal_net')
+        if c.use_semantic_segmentation_loss:
+            self.semantic_seg_conv = nn.Conv(c.num_classes - 1, (1, 1),
+                                             name='semantic_seg_conv')
+
+    def forward_single(self, x: jax.Array):
+        """One batch of frames [B, H, W, 3] -> (fpn_outs, pred dict).
+
+        Mirrors reference STMask.py:205-282.
+        """
+        c = self.cfg
+        bb_outs = self.backbone(x)
+        sel = [bb_outs[i] for i in c.backbone.selected_layers]
+        fpn_outs = self.fpn(sel)
+
+        proto_x = fpn_outs[c.mask_proto_src]
+        proto_out = nn.relu(self.proto_net(proto_x))      # [B, Hp, Wp, 32]
+
+        preds: Dict[str, List[jax.Array]] = {}
+        t2s_feats = []
+        for lvl, f in enumerate(fpn_outs):
+            p = self.prediction_head(f)
+            t2s_feats.append(p.pop('T2S_feat'))
+            for k, v in p.items():
+                preds.setdefault(k, []).append(v)
+
+        pred_outs = {k: jnp.concatenate(v, axis=1) for k, v in preds.items()}
+        pred_outs['proto'] = proto_out
+        pred_outs['T2S_feat'] = t2s_feats[c.correlation_selected_layer]
+        return fpn_outs, pred_outs
+
+    def __call__(self, x: jax.Array, train: bool = False):
+        c = self.cfg
+        if train:
+            b, nf, h, w, _ = x.shape
+            fpn_outs, pred_outs = self.forward_single(
+                x.reshape(b * nf, h, w, 3))
+
+            if c.temporal_fusion_module:
+                # cross-frame correlation on the selected FPN level
+                # (reference STMask.py:289-297): even rows = ref frame,
+                # odd rows = next frame of each clip.
+                f = fpn_outs[c.correlation_selected_layer]
+                fpn_ref, fpn_next = f[0::2], f[1::2]
+                t2s = pred_outs.pop('T2S_feat')
+                t2s_ref, t2s_next = t2s[0::2], t2s[1::2]
+                x_corr = correlate(fpn_ref, fpn_next,
+                                   patch_size=c.correlation_patch_size)
+                pred_outs['T2S_concat_feat'] = nn.relu(
+                    jnp.concatenate([x_corr, t2s_ref, t2s_next], axis=-1))
+
+            if c.use_semantic_segmentation_loss:
+                pred_outs['segm'] = self.semantic_seg_conv(fpn_outs[0])
+            return pred_outs
+        else:
+            fpn_outs, pred_outs = self.forward_single(x)
+            pred_outs['conf'] = jax.nn.softmax(pred_outs['conf'], axis=-1)
+            if c.temporal_fusion_module:
+                pred_outs['fpn_feat'] = fpn_outs[c.correlation_selected_layer]
+            return pred_outs
+
+    def temporal_shift(self, bbox_feats: jax.Array):
+        """Run TemporalNet on RoIAligned features (used by CandidateShift
+        and by the train-time track-to-segment loss)."""
+        return self.temporal_net(bbox_feats)

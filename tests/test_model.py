@@ -1,0 +1,71 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stmask_tpu.config import get_config
+from stmask_tpu.models import STMask
+
+# small test config: tiny input, R50 structure shrunk
+TINY = get_config('STMask_resnet50').replace(
+    img_w=128, img_h=96,
+    backbone=get_config('STMask_resnet50').backbone,
+)
+
+TINY_DCN = get_config('STMask_plus_resnet50').replace(img_w=128, img_h=96)
+TINY_ADA = get_config('STMask_plus_resnet50_ada').replace(img_w=128, img_h=96)
+
+
+def _init(cfg, train=False, frames=1):
+    model = STMask(cfg)
+    rng = jax.random.PRNGKey(0)
+    if train:
+        x = jax.random.normal(jax.random.PRNGKey(1),
+                              (1, 2, cfg.pad_h, cfg.pad_w, 3))
+        params = model.init(rng, x, train=True)
+    else:
+        x = jax.random.normal(jax.random.PRNGKey(1),
+                              (1, cfg.pad_h, cfg.pad_w, 3))
+        params = model.init(rng, x, train=False)
+    return model, params, x
+
+
+@pytest.mark.parametrize('cfg', [TINY], ids=['r50'])
+def test_eval_forward_shapes(cfg):
+    model, params, x = _init(cfg)
+    out = model.apply(params, x, train=False)
+    p = cfg.num_priors
+    assert out['loc'].shape == (1, p, 4)
+    assert out['conf'].shape == (1, p, cfg.num_classes)
+    assert out['mask_coeff'].shape == (1, p, 32)
+    assert out['track'].shape == (1, p, cfg.embed_dim)
+    assert out['centerness'].shape == (1, p, 1)
+    # proto at 2x P3 resolution
+    assert out['proto'].shape == (1, cfg.pad_h // 4, cfg.pad_w // 4, 32)
+    # conf softmaxed
+    np.testing.assert_allclose(np.asarray(out['conf']).sum(-1), 1.0,
+                               atol=1e-5)
+    # track embeddings unit-norm
+    norms = np.linalg.norm(np.asarray(out['track']), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+    # TF features at the selected level (P4)
+    h4 = cfg.feature_shapes()[cfg.correlation_selected_layer]
+    assert out['fpn_feat'].shape == (1, h4[0], h4[1], 256)
+    assert out['T2S_feat'].shape == (1, h4[0], h4[1], 256)
+
+
+def test_train_forward_has_corr_feat():
+    model, params, x = _init(TINY, train=True)
+    out = model.apply(params, x, train=True)
+    h4, w4 = TINY.feature_shapes()[TINY.correlation_selected_layer]
+    corr_ch = TINY.correlation_patch_size ** 2 + 2 * 256
+    assert out['T2S_concat_feat'].shape == (1, h4, w4, corr_ch)
+    assert out['loc'].shape[0] == 2  # both frames flattened
+
+
+@pytest.mark.parametrize('cfg', [TINY_DCN, TINY_ADA], ids=['dcn', 'ada'])
+def test_dcn_variants_forward(cfg):
+    model, params, x = _init(cfg)
+    out = model.apply(params, x, train=False)
+    assert out['loc'].shape == (1, cfg.num_priors, 4)
+    assert np.all(np.isfinite(np.asarray(out['loc'])))
