@@ -1,0 +1,67 @@
+"""Per-frame candidate generation + NMS with fixed capacities.
+
+Combines the reference's ``generate_candidate`` (conf pre-filter + decode,
+``layers/functions/TF_utils.py:54-82``) and ``Detect_TF``'s cc-fast-NMS
+(``layers/functions/detection_TF.py:56-83``, same math as
+``detection.py:139-187``) into one static-shape function: instead of boolean
+filtering, invalid priors get ``-inf`` scores and top-k selection yields a
+sorted, fixed-size candidate set with a validity mask.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import STMaskConfig
+from ..ops.boxes import decode
+from ..ops.nms import NEG_INF, cc_fast_nms
+
+
+class Detections(NamedTuple):
+    """Fixed-capacity per-frame detections, score-sorted."""
+    box: jax.Array         # [D, 4] point form, normalized
+    score: jax.Array       # [D] max-class prob x centerness
+    cls: jax.Array         # [D] 1-based class id
+    mask_coeff: jax.Array  # [D, 32] raw coefficients
+    track: jax.Array       # [D, E] L2-normalized embedding
+    centerness: jax.Array  # [D]
+    valid: jax.Array       # [D] bool
+
+
+def detect_frame(cfg: STMaskConfig, preds: dict,
+                 priors: jax.Array) -> Detections:
+    """Decode + threshold + cc-fast-NMS for one frame.
+
+    Args:
+      preds: model eval outputs for a single frame (batch dim stripped):
+        loc [P, 4], conf [P, C] softmaxed, mask_coeff [P, 32],
+        track [P, E], centerness [P, 1].
+    """
+    loc = preds['loc']
+    conf = preds['conf']
+    boxes = decode(loc, priors)                                # [P, 4]
+
+    fg = conf[:, 1:]                                           # [P, C-1]
+    conf_max = jnp.max(fg, axis=-1)
+    classes = jnp.argmax(fg, axis=-1).astype(jnp.int32) + 1
+    centerness = preds['centerness'][:, 0]
+
+    # conf pre-filter (TF_utils.py:71) then score-sorted NMS over
+    # score x centerness (detection_TF cc_fast_nms)
+    passed = conf_max > cfg.eval_conf_thresh
+    nms_scores = jnp.where(passed, conf_max * centerness, NEG_INF)
+    res = cc_fast_nms(boxes, nms_scores, cfg.nms_thresh, cfg.nms_top_k)
+
+    idx = res.idx
+    return Detections(
+        box=boxes[idx],
+        score=res.scores,
+        cls=classes[idx],
+        mask_coeff=preds['mask_coeff'][idx],
+        track=preds['track'][idx],
+        centerness=centerness[idx],
+        valid=res.valid,
+    )

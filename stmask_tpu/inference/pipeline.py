@@ -1,0 +1,71 @@
+"""The compiled video-inference program.
+
+The reference eval loop crosses the host/device boundary every frame
+(reference ``eval.py:597-648``: upload, forward, NMS, python tracking loop,
+``.cpu()`` postprocess).  Here the whole per-frame step — forward pass,
+decode, NMS, temporal shift, tracking — is ONE jitted function:
+
+    video_step(params, state, frame, is_first) -> (state, FrameOutput)
+
+so a video is a host-driven scan with only the final per-frame outputs
+(fixed-capacity boxes/masks) leaving the device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import STMaskConfig
+from ..models.stmask import STMask
+from ..ops.anchors import all_priors
+from .candidates import Detections, detect_frame
+from .tracker import (FrameOutput, TrackState, init_state, track_step_simple,
+                      track_step_tf)
+
+
+def build_video_step(cfg: STMaskConfig, model: STMask):
+    """Returns (video_step, make_init_state).
+
+    video_step(params, state, frame[H, W, 3], is_first) is jitted; frame is
+    the already normalized padded image.
+    """
+    priors = jnp.asarray(all_priors(cfg))
+
+    @jax.jit
+    def video_step(params, state: TrackState, frame: jax.Array,
+                   is_first: jax.Array) -> Tuple[TrackState, FrameOutput]:
+        preds = model.apply(params, frame[None], train=False)
+        frame_preds = {
+            'loc': preds['loc'][0],
+            'conf': preds['conf'][0],
+            'mask_coeff': preds['mask_coeff'][0],
+            'track': preds['track'][0],
+            'centerness': preds['centerness'][0],
+        }
+        det = detect_frame(cfg, frame_preds, priors)
+        proto = preds['proto'][0]
+
+        if cfg.temporal_fusion_module:
+            def temporal_net_fn(x):
+                return model.apply(params, x, method=STMask.temporal_shift)
+
+            fpn_feat = preds['fpn_feat'][0]
+            t2s_feat = preds['T2S_feat'][0]
+            state, out = track_step_tf(cfg, temporal_net_fn, state, det,
+                                       proto, fpn_feat, t2s_feat, is_first)
+        else:
+            state, out = track_step_simple(cfg, state, det, proto, is_first)
+        return state, out
+
+    def make_init_state() -> TrackState:
+        feat_shape = cfg.feature_shapes()[cfg.correlation_selected_layer]
+        proto_shape = (cfg.pad_h // 4, cfg.pad_w // 4)
+        return init_state(cfg, feat_shape, proto_shape,
+                          cfg.fpn.num_features, cfg.embed_dim)
+
+    return video_step, make_init_state

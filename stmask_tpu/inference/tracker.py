@@ -1,0 +1,369 @@
+"""Fixed-capacity video instance tracker (TF and simple variants).
+
+Re-design of the reference's stateful per-video trackers:
+  * ``Track_TF`` (``layers/functions/track_TF.py:50-181``): previous tracks
+    are *shifted* to the current frame by the TemporalNet (CandidateShift,
+    ``TF_utils.py:12-51``), then matched against new detections with a mixed
+    score (embedding cosine + mask IoU + box IoU + label consistency,
+    ``TF_utils.py:99-120``), greedily with per-track best-score conflict
+    resolution.
+  * ``Track`` (``layers/functions/track.py:56-180``): no shift; memory update
+    gated by a mask-overlap test.
+
+TPU re-design: the reference grows its track memory without bound
+(``track_TF.py:137-139``); here the state is a fixed bank of
+``track_capacity`` slots with a validity mask and a monotonically increasing
+global id counter.  Slots whose track can never be output again (score
+decayed below the output threshold AND age beyond the output window) are
+recycled for new tracks — a deviation from the reference only in the rare
+case where a long-dead track would have been re-matched.
+
+The greedy, order-dependent id assignment (``track_TF.py:132-156``) becomes a
+``lax.fori_loop`` over score-sorted detections with masked dynamic updates —
+bitwise-identical assignment order to the reference for valid detections.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import STMaskConfig
+from ..ops.boxes import center_size, decode, jaccard, mask_iou, sanitize_coordinates_hw
+from ..ops.correlation import correlate
+from ..ops.masks import generate_mask
+from ..ops.roi_align import roi_align
+from .candidates import Detections
+
+NEG = -1e10
+
+
+class TrackState(NamedTuple):
+    """Per-video persistent state (all fixed capacity T)."""
+    box: jax.Array          # [T, 4]
+    score: jax.Array        # [T]
+    cls: jax.Array          # [T] int32
+    mask_coeff: jax.Array   # [T, 32]
+    track: jax.Array        # [T, E]
+    centerness: jax.Array   # [T]
+    mask: jax.Array         # [T, Hp, Wp] soft masks on current frame
+    age: jax.Array          # [T] int32 frames since last detection
+    valid: jax.Array        # [T] bool slot in use
+    obj_id: jax.Array       # [T] int32 global instance id (0-based)
+    next_id: jax.Array      # [] int32
+    # previous-frame features for the temporal shift
+    fpn_feat: jax.Array     # [H4, W4, C]
+    t2s_feat: jax.Array     # [H4, W4, C]
+
+
+def init_state(cfg: STMaskConfig, feat_shape: Tuple[int, int],
+               proto_shape: Tuple[int, int], feat_ch: int = 256,
+               embed_dim: int | None = None) -> TrackState:
+    t = cfg.track_capacity
+    e = embed_dim or cfg.embed_dim
+    hp, wp = proto_shape
+    h4, w4 = feat_shape
+    return TrackState(
+        box=jnp.zeros((t, 4)), score=jnp.zeros((t,)),
+        cls=jnp.zeros((t,), jnp.int32),
+        mask_coeff=jnp.zeros((t, cfg.mask_proto_n)),
+        track=jnp.zeros((t, e)), centerness=jnp.zeros((t,)),
+        mask=jnp.zeros((t, hp, wp)), age=jnp.zeros((t,), jnp.int32),
+        valid=jnp.zeros((t,), bool), obj_id=jnp.zeros((t,), jnp.int32),
+        next_id=jnp.zeros((), jnp.int32),
+        fpn_feat=jnp.zeros((h4, w4, feat_ch)),
+        t2s_feat=jnp.zeros((h4, w4, feat_ch)))
+
+
+def candidate_shift(cfg: STMaskConfig, temporal_net_fn, state: TrackState,
+                    cur_fpn_feat: jax.Array, cur_t2s_feat: jax.Array,
+                    cur_proto: jax.Array) -> TrackState:
+    """Shift all track boxes/coeffs/masks to the current frame
+    (reference TF_utils.py:12-51 CandidateShift)."""
+    h4, w4, _ = cur_fpn_feat.shape
+    x_corr = correlate(state.fpn_feat[None], cur_fpn_feat[None],
+                       patch_size=cfg.correlation_patch_size)[0]
+    concat = jax.nn.relu(jnp.concatenate(
+        [x_corr, state.t2s_feat, cur_t2s_feat], axis=-1))
+
+    boxes_feat = sanitize_coordinates_hw(state.box, h4, w4)
+    pooled = roi_align(concat, boxes_feat, pool_size=7)          # [T,7,7,C]
+    loc_shift, coeff_shift = temporal_net_fn(pooled)             # [T,4],[T,32]
+
+    box_shift = decode(loc_shift, center_size(state.box))
+    coeff = state.mask_coeff + coeff_shift
+    masks = generate_mask(cur_proto, coeff, box_shift)           # [T,Hp,Wp]
+    return state._replace(
+        box=box_shift,
+        score=state.score * cfg.score_decay,
+        mask_coeff=coeff,
+        mask=masks,
+        age=state.age + 1)
+
+
+def _comp_scores(cfg: STMaskConfig, det: Detections, det_masks: jax.Array,
+                 state: TrackState) -> jax.Array:
+    """Mixed matching score matrix [D, T+1]; column 0 is the new-object
+    dummy (reference TF_utils.py:99-120 compute_comp_scores)."""
+    cos = det.track @ state.track.T                              # [D, T]
+    cos = jnp.concatenate([jnp.zeros((cos.shape[0], 1)), cos], axis=1)
+    cos = (cos + 1.0) / 2.0
+
+    bbox_ious = jaccard(det.box, state.box)                      # [D, T]
+    prev_masks = (state.mask > 0.5).astype(jnp.float32)
+    mask_ious = mask_iou(det_masks, prev_masks)                  # [D, T]
+    label_delta = (state.cls[None, :] == det.cls[:, None]).astype(jnp.float32)
+
+    dummy = jnp.full((cos.shape[0], 1), cfg.bbox_dummy_iou)
+    bbox_ious = jnp.concatenate([dummy, bbox_ious], axis=1)
+    mask_ious = jnp.concatenate([dummy, mask_ious], axis=1)
+    label_delta = jnp.concatenate(
+        [jnp.ones((cos.shape[0], 1)), label_delta], axis=1)
+
+    c = cfg.match_coeff
+    comp = (cos + c[0] * det.score[:, None] + c[1] * mask_ious
+            + c[2] * bbox_ious + c[3] * label_delta)
+    # invalid track slots can never be matched
+    col_valid = jnp.concatenate([jnp.ones((1,), bool), state.valid])
+    return jnp.where(col_valid[None, :], comp, NEG)
+
+
+def _free_slots(cfg: STMaskConfig, state: TrackState) -> jax.Array:
+    """Slots reusable for new tracks: unused, or permanently un-outputtable."""
+    dead = (state.score <= cfg.eval_conf_thresh) & \
+           (state.age > cfg.max_tracked_mask_age)
+    return ~state.valid | dead
+
+
+def assign_ids(cfg: STMaskConfig, det: Detections, det_masks: jax.Array,
+               state: TrackState) -> TrackState:
+    """Greedy detection->track assignment with conflict resolution
+    (reference track_TF.py:125-156), as a fori_loop over detections."""
+    comp = _comp_scores(cfg, det, det_masks, state)              # [D, T+1]
+    match_ids = jnp.argmax(comp, axis=1)                         # [D]
+    d = det.box.shape[0]
+    t = state.box.shape[0]
+
+    def write_slot(st: TrackState, slot, i, new_id=None):
+        """Overwrite slot fields from detection i; age reset."""
+        upd = dict(
+            box=st.box.at[slot].set(det.box[i]),
+            score=st.score.at[slot].set(det.score[i]),
+            cls=st.cls.at[slot].set(det.cls[i]),
+            mask_coeff=st.mask_coeff.at[slot].set(det.mask_coeff[i]),
+            track=st.track.at[slot].set(det.track[i]),
+            centerness=st.centerness.at[slot].set(det.centerness[i]),
+            mask=st.mask.at[slot].set(det_masks[i]),
+            age=st.age.at[slot].set(0),
+            valid=st.valid.at[slot].set(True),
+        )
+        if new_id is not None:
+            upd['obj_id'] = st.obj_id.at[slot].set(new_id)
+            upd['next_id'] = new_id + 1
+        return st._replace(**upd)
+
+    def body(i, carry):
+        st, best_score, free = carry
+        mid = match_ids[i]
+        is_valid = det.valid[i]
+        is_new = mid == 0
+
+        # --- new object: allocate a free slot (prefer never-used ones) ---
+        def do_new(args):
+            st, best_score, free = args
+            slot = jnp.argmax(free.astype(jnp.int32)
+                              + (free & ~st.valid).astype(jnp.int32))
+            has_free = jnp.any(free)
+            st2 = write_slot(st, slot, i, new_id=st.next_id)
+            st2 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(has_free, a, b), st2, st)
+            free2 = jnp.where(has_free, free.at[slot].set(False), free)
+            return st2, best_score, free2
+
+        # --- existing object: overwrite if this det scores higher ---
+        def do_match(args):
+            st, best_score, free = args
+            slot = mid - 1
+            better = det.score[i] > best_score[slot]
+            st2 = write_slot(st, slot, i)
+            st2 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(better, a, b), st2, st)
+            bs2 = jnp.where(better, best_score.at[slot].set(det.score[i]),
+                            best_score)
+            return st2, bs2, free
+
+        def do_skip(args):
+            return args
+
+        st, best_score, free = jax.lax.cond(
+            is_valid,
+            lambda a: jax.lax.cond(is_new, do_new, do_match, a),
+            do_skip,
+            (st, best_score, free))
+        return st, best_score, free
+
+    free0 = _free_slots(cfg, state)
+    best0 = jnp.full((t,), -1.0)
+    state, _, _ = jax.lax.fori_loop(0, d, body, (state, best0, free0))
+    return state
+
+
+class FrameOutput(NamedTuple):
+    """Per-frame tracked detections (fixed capacity T, masked by keep)."""
+    box: jax.Array       # [T, 4] normalized point form
+    score: jax.Array     # [T]
+    cls: jax.Array       # [T]
+    mask: jax.Array      # [T, Hp, Wp] soft masks at proto resolution
+    obj_id: jax.Array    # [T]
+    keep: jax.Array      # [T] bool
+
+
+def track_step_tf(cfg: STMaskConfig, temporal_net_fn, state: TrackState,
+                  det: Detections, cur_proto: jax.Array,
+                  cur_fpn_feat: jax.Array, cur_t2s_feat: jax.Array,
+                  is_first: jax.Array) -> Tuple[TrackState, FrameOutput]:
+    """One frame of Track_TF (reference track_TF.py:50-181).
+
+    All branches are computed and blended with ``where`` — under jit this is
+    one fused program; the state reset on ``is_first`` zeroes the bank.
+    """
+    # reset on the first frame of a video
+    empty = init_state(cfg, cur_fpn_feat.shape[:2], cur_proto.shape[:2],
+                       cur_fpn_feat.shape[-1], state.track.shape[-1])
+    state = jax.tree_util.tree_map(
+        lambda e, s: jnp.where(
+            jnp.reshape(is_first, (1,) * e.ndim), e, s), empty, state)
+
+    # shift previous tracks onto this frame (no-op on empty state)
+    shifted = candidate_shift(cfg, temporal_net_fn, state, cur_fpn_feat,
+                              cur_t2s_feat, cur_proto)
+    has_prev = jnp.any(state.valid)
+    state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(jnp.reshape(has_prev, (1,) * a.ndim), a, b),
+        shifted, state)
+
+    # current-frame detection masks
+    det_masks_soft = generate_mask(cur_proto, det.mask_coeff, det.box)
+    det_masks = (det_masks_soft > 0.5).astype(jnp.float32)
+
+    # greedy matching / new-track allocation; detections that carry a soft
+    # mask into the bank use the *soft* mask (reference stores
+    # candidate['mask'] = det_masks_soft)
+    det_for_bank = det
+    state = assign_ids(cfg, det_for_bank, det_masks_soft, state)
+
+    # output keep conditions (reference track_TF.py:158-165)
+    mask_area = jnp.sum(state.mask > 0.5, axis=(1, 2))
+    keep = ((state.age <= cfg.max_tracked_mask_age)
+            & (mask_area > 1)
+            & (state.score > cfg.eval_conf_thresh)
+            & state.valid)
+
+    out = FrameOutput(box=state.box, score=state.score, cls=state.cls,
+                      mask=state.mask, obj_id=state.obj_id, keep=keep)
+
+    state = state._replace(fpn_feat=cur_fpn_feat, t2s_feat=cur_t2s_feat)
+    return state, out
+
+
+def track_step_simple(cfg: STMaskConfig, state: TrackState, det: Detections,
+                      cur_proto: jax.Array,
+                      is_first: jax.Array) -> Tuple[TrackState, FrameOutput]:
+    """One frame of the no-TF tracker (reference track.py:56-180).
+
+    Differences from TF: no shift (state boxes/masks stay from their last
+    detection), memory update additionally gated by a mask-overlap test
+    (``(mask_ious[idx] > 0.3).sum() < 2``, track.py:162), and the output is
+    the current *detections* (with assigned ids), not the track bank.
+    """
+    empty = init_state(cfg, state.fpn_feat.shape[:2], cur_proto.shape[:2],
+                       state.fpn_feat.shape[-1], state.track.shape[-1])
+    state = jax.tree_util.tree_map(
+        lambda e, s: jnp.where(jnp.reshape(is_first, (1,) * e.ndim), e, s),
+        empty, state)
+
+    det_masks_soft = generate_mask(cur_proto, det.mask_coeff, det.box)
+    det_masks = (det_masks_soft > 0.5).astype(jnp.float32)
+
+    comp = _comp_scores(cfg, det, det_masks, state)
+    match_ids = jnp.argmax(comp, axis=1)
+    d = det.box.shape[0]
+    t = state.box.shape[0]
+
+    # mask-overlap gate for memory update: det overlaps >=2 prev masks
+    prev_masks = (state.mask > 0.5).astype(jnp.float32)
+    mious = mask_iou(det_masks, prev_masks)
+    mious = jnp.where(state.valid[None, :], mious, 0.0)
+    overlap_many = jnp.sum(mious > 0.3, axis=1) >= 2            # [D]
+
+    def write_slot(st, slot, i, new_id=None):
+        upd = dict(
+            box=st.box.at[slot].set(det.box[i]),
+            score=st.score.at[slot].set(det.score[i]),
+            cls=st.cls.at[slot].set(det.cls[i]),
+            mask_coeff=st.mask_coeff.at[slot].set(det.mask_coeff[i]),
+            track=st.track.at[slot].set(det.track[i]),
+            centerness=st.centerness.at[slot].set(det.centerness[i]),
+            mask=st.mask.at[slot].set(det_masks[i]),
+            age=st.age.at[slot].set(0),
+            valid=st.valid.at[slot].set(True))
+        if new_id is not None:
+            upd['obj_id'] = st.obj_id.at[slot].set(new_id)
+            upd['next_id'] = new_id + 1
+        return st._replace(**upd)
+
+    def body(i, carry):
+        st, best_score, free, det_ids = carry
+        mid = match_ids[i]
+        is_valid = det.valid[i]
+        is_new = mid == 0
+
+        def do_new(args):
+            st, best_score, free, det_ids = args
+            slot = jnp.argmax(free.astype(jnp.int32)
+                              + (free & ~st.valid).astype(jnp.int32))
+            has_free = jnp.any(free)
+            st2 = write_slot(st, slot, i, new_id=st.next_id)
+            st2 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(has_free, a, b), st2, st)
+            det_ids2 = jnp.where(has_free,
+                                 det_ids.at[i].set(st.next_id), det_ids)
+            free2 = jnp.where(has_free, free.at[slot].set(False), free)
+            return st2, best_score, free2, det_ids2
+
+        def do_match(args):
+            st, best_score, free, det_ids = args
+            slot = mid - 1
+            better = det.score[i] > best_score[slot]
+            # displace the previous best det for this track (id -> -1)
+            prev_mask = det_ids == st.obj_id[slot]
+            det_ids2 = jnp.where(better & prev_mask, -1, det_ids)
+            det_ids2 = jnp.where(better, det_ids2.at[i].set(st.obj_id[slot]),
+                                 det_ids2)
+            do_update = better & ~overlap_many[i]
+            st2 = write_slot(st, slot, i)
+            st2 = st2._replace(obj_id=st.obj_id)  # id unchanged on update
+            st2 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(do_update, a, b), st2, st)
+            bs2 = jnp.where(better, best_score.at[slot].set(det.score[i]),
+                            best_score)
+            return st2, bs2, free, det_ids2
+
+        return jax.lax.cond(
+            is_valid,
+            lambda a: jax.lax.cond(is_new, do_new, do_match, a),
+            lambda a: a,
+            (st, best_score, free, det_ids))
+
+    free0 = _free_slots(cfg, state)
+    best0 = jnp.full((t,), -1.0)
+    ids0 = jnp.full((d,), -1, jnp.int32)
+    state, _, _, det_ids = jax.lax.fori_loop(
+        0, d, body, (state, best0, free0, ids0))
+
+    keep = det.valid & (det_ids >= 0)
+    out = FrameOutput(box=det.box, score=det.score, cls=det.cls,
+                      mask=det_masks_soft, obj_id=det_ids, keep=keep)
+    return state, out

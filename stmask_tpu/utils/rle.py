@@ -1,0 +1,115 @@
+"""COCO-style run-length encoding, self-contained (no pycocotools).
+
+Implements the exact on-disk format the YTVIS evaluation servers expect
+(the reference relies on ``pycocotools.mask.encode`` C code at
+``layers/output_utils.py:100-106``): Fortran-order binary runs starting with
+zeros, compressed with pycocotools' 5-bit varint + difference coding.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+
+def mask_to_counts(mask: np.ndarray) -> np.ndarray:
+    """Binary [h, w] mask -> uncompressed RLE counts (Fortran order,
+    starting with the zero-run)."""
+    flat = np.asfortranarray(mask).flatten(order='F').astype(np.uint8)
+    if flat.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    change = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+    runs = np.diff(np.concatenate([[0], change, [flat.size]]))
+    if flat[0] == 1:
+        runs = np.concatenate([[0], runs])
+    return runs.astype(np.int64)
+
+
+def counts_to_string(cnts: np.ndarray) -> str:
+    """pycocotools rleToString: 5-bit varint with difference coding."""
+    out = []
+    for i, c in enumerate(cnts):
+        x = int(c)
+        if i > 2:
+            x -= int(cnts[i - 2])
+        more = True
+        while more:
+            cc = x & 0x1F
+            x >>= 5
+            more = (x != -1) if (cc & 0x10) else (x != 0)
+            if more:
+                cc |= 0x20
+            out.append(chr(cc + 48))
+    return ''.join(out)
+
+
+def string_to_counts(s: str) -> np.ndarray:
+    """pycocotools rleFrString."""
+    cnts: List[int] = []
+    i = 0
+    n = len(s)
+    while i < n:
+        x = 0
+        k = 0
+        more = True
+        while more:
+            c = ord(s[i]) - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            i += 1
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(cnts) > 2:
+            x += cnts[-2]
+        cnts.append(x)
+    return np.asarray(cnts, dtype=np.int64)
+
+
+def encode(mask: np.ndarray) -> Dict:
+    """Binary [h, w] mask -> {'size': [h, w], 'counts': str}."""
+    h, w = mask.shape
+    return {'size': [int(h), int(w)],
+            'counts': counts_to_string(mask_to_counts(mask))}
+
+
+def decode(rle: Dict) -> np.ndarray:
+    """{'size': [h, w], 'counts': str|list} -> binary [h, w] uint8 mask."""
+    h, w = rle['size']
+    counts = rle['counts']
+    if isinstance(counts, str):
+        cnts = string_to_counts(counts)
+    elif isinstance(counts, bytes):
+        cnts = string_to_counts(counts.decode())
+    else:
+        cnts = np.asarray(counts, dtype=np.int64)
+    vals = np.zeros(int(cnts.sum()), dtype=np.uint8)
+    pos = 0
+    val = 0
+    for c in cnts:
+        if val:
+            vals[pos:pos + c] = 1
+        pos += int(c)
+        val ^= 1
+    return vals.reshape((w, h)).T  # Fortran order
+
+
+def area(rle: Dict) -> int:
+    counts = rle['counts']
+    cnts = string_to_counts(counts) if isinstance(counts, str) \
+        else np.asarray(counts, dtype=np.int64)
+    return int(cnts[1::2].sum())
+
+
+def iou_rle(rles_a: List[Dict], rles_b: List[Dict]) -> np.ndarray:
+    """Pairwise mask IoU from RLEs (decoded; fine for eval-size workloads)."""
+    if not rles_a or not rles_b:
+        return np.zeros((len(rles_a), len(rles_b)), np.float64)
+    ma = np.stack([decode(r).reshape(-1) for r in rles_a]).astype(np.float64)
+    mb = np.stack([decode(r).reshape(-1) for r in rles_b]).astype(np.float64)
+    inter = ma @ mb.T
+    union = ma.sum(1)[:, None] + mb.sum(1)[None, :] - inter
+    with np.errstate(divide='ignore', invalid='ignore'):
+        out = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    return out
