@@ -78,6 +78,10 @@ class STMask(nn.Module):
 
     def __call__(self, x: jax.Array, train: bool = False):
         c = self.cfg
+        if c.temporal_fusion_module and self.is_initializing():
+            # touch TemporalNet so its params are created regardless of path
+            corr_ch = 2 * c.fpn.num_features + c.correlation_patch_size ** 2
+            self.temporal_net(jnp.zeros((1, 7, 7, corr_ch)))
         if train:
             b, nf, h, w, _ = x.shape
             fpn_outs, pred_outs = self.forward_single(

@@ -1,0 +1,75 @@
+"""End-to-end: jitted video step over a synthetic 3-frame clip -> YTVIS JSON.
+
+The minimum end-to-end slice of SURVEY.md §7.2 step 3: model forward +
+NMS + tracking + postprocess + results JSON, all shapes static.
+"""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stmask_tpu.config import get_config
+from stmask_tpu.inference import (build_video_step, postprocess_frame,
+                                  results2json_videoseg)
+from stmask_tpu.models import STMask
+
+TINY = get_config('STMask_plus_resnet50').replace(
+    img_w=128, img_h=96, track_capacity=16)
+
+
+@pytest.fixture(scope='module')
+def model_and_params():
+    model = STMask(TINY)
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (1, TINY.pad_h, TINY.pad_w, 3))
+    params = model.init(jax.random.PRNGKey(0), x, train=False)
+    return model, params
+
+
+def test_video_step_and_json(model_and_params):
+    model, params = model_and_params
+    video_step, make_state = build_video_step(TINY, model)
+
+    state = make_state()
+    results = []
+    rng = np.random.RandomState(0)
+    for frame_id in range(3):
+        frame = jnp.asarray(rng.randn(TINY.pad_h, TINY.pad_w, 3)
+                            .astype(np.float32))
+        state, out = video_step(params, state, frame,
+                                jnp.asarray(frame_id == 0))
+        assert out.box.shape == (TINY.track_capacity, 4)
+        assert out.mask.shape == (TINY.track_capacity, TINY.pad_h // 4,
+                                  TINY.pad_w // 4)
+        meta = {'video_id': 1, 'frame_id': frame_id,
+                'img_shape': (TINY.img_h, TINY.img_w),
+                'pad_shape': (TINY.pad_h, TINY.pad_w),
+                'is_first': frame_id == 0}
+        results.append(postprocess_frame(TINY, out, meta))
+
+    json_results = results2json_videoseg(results)
+    # schema check (even if the random model found nothing)
+    for r in json_results:
+        assert set(r) == {'video_id', 'score', 'category_id',
+                          'segmentations'}
+        assert len(r['segmentations']) == 3
+        for s in r['segmentations']:
+            if s is not None:
+                assert set(s) == {'size', 'counts'}
+                assert s['size'] == [TINY.img_h, TINY.img_w]
+    # serializable
+    json.dumps(json_results)
+
+
+def test_video_step_state_carries(model_and_params):
+    model, params = model_and_params
+    video_step, make_state = build_video_step(TINY, model)
+    state = make_state()
+    frame = jnp.zeros((TINY.pad_h, TINY.pad_w, 3))
+    s1, _ = video_step(params, state, frame, jnp.asarray(True))
+    # fpn features stored for the next frame's correlation
+    assert np.asarray(jnp.abs(s1.fpn_feat)).sum() >= 0  # finite
+    assert np.all(np.isfinite(np.asarray(s1.fpn_feat)))
