@@ -1,0 +1,110 @@
+"""Image/box/mask preprocessing matching the reference transform chain.
+
+Reference ``datasets/transforms.py``: resize to (640, 360) without keeping
+aspect ratio, normalize RGB with MEANS/STD, optional horizontal flip,
+pad to a multiple of 32 (-> 384x640), boxes scaled + clipped to img_shape +
+normalized by *pad_shape*, masks nearest-resized + flipped + padded.
+
+Additionally produces the prototype-resolution gt masks the TPU loss
+consumes (pad/4, binarized).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from ..config import MEANS, STD, STMaskConfig
+from .ytvis import FrameAnnots
+
+
+def resize_image(img: np.ndarray, size_wh: Tuple[int, int]) -> np.ndarray:
+    return cv2.resize(img, size_wh, interpolation=cv2.INTER_LINEAR)
+
+
+def normalize_image(img: np.ndarray) -> np.ndarray:
+    """uint8 RGB -> float32 normalized."""
+    return (img.astype(np.float32) - np.asarray(MEANS, np.float32)) \
+        / np.asarray(STD, np.float32)
+
+
+def preprocess_frame(cfg: STMaskConfig, img_rgb: np.ndarray,
+                     annots: Optional[FrameAnnots] = None,
+                     flip: bool = False) -> Dict:
+    """One frame -> normalized padded image + padded-normalized targets.
+
+    Returns dict with:
+      image [pad_h, pad_w, 3] float32;
+      and if annots given: boxes [n,4] normalized to pad shape, labels, ids,
+      masks_proto [n, pad_h/4, pad_w/4] uint8, masks_img [n, img_h, img_w].
+    """
+    ow, oh = img_rgb.shape[1], img_rgb.shape[0]
+    iw, ih = cfg.img_w, cfg.img_h
+    pw, ph = cfg.pad_w, cfg.pad_h
+
+    img = resize_image(img_rgb, (iw, ih))
+    img = normalize_image(img)
+    if flip:
+        img = img[:, ::-1]
+    padded = np.zeros((ph, pw, 3), np.float32)
+    padded[:ih, :iw] = img
+
+    out = {'image': padded,
+           'img_shape': (ih, iw), 'pad_shape': (ph, pw)}
+    if annots is None:
+        return out
+
+    w_scale, h_scale = iw / ow, ih / oh
+    boxes = annots.boxes * np.asarray(
+        [w_scale, h_scale, w_scale, h_scale], np.float32)
+    if flip:
+        # bbox_flip (transforms.py:49-61)
+        x1 = iw - boxes[:, 2] - 1
+        x2 = iw - boxes[:, 0] - 1
+        boxes = np.stack([x1, boxes[:, 1], x2, boxes[:, 3]], axis=1)
+    boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, iw) / pw
+    boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, ih) / ph
+
+    hp, wp = ph // 4, pw // 4
+    n = annots.masks.shape[0]
+    masks_proto = np.zeros((n, hp, wp), np.uint8)
+    for i in range(n):
+        m = cv2.resize(annots.masks[i], (iw, ih),
+                       interpolation=cv2.INTER_NEAREST)
+        if flip:
+            m = m[:, ::-1]
+        mp = np.zeros((ph, pw), np.uint8)
+        mp[:ih, :iw] = m
+        # downsample to prototype resolution, binarize > 0.5
+        mp_small = cv2.resize(mp.astype(np.float32), (wp, hp),
+                              interpolation=cv2.INTER_LINEAR)
+        masks_proto[i] = (mp_small > 0.5).astype(np.uint8)
+
+    out.update(boxes=boxes.astype(np.float32), labels=annots.labels,
+               ids=annots.ids, masks_proto=masks_proto)
+    return out
+
+
+def pad_gt(cfg: STMaskConfig, frame: Dict) -> Dict:
+    """Pad per-frame targets to ``max_gt_per_frame`` static capacity."""
+    g = cfg.max_gt_per_frame
+    hp, wp = cfg.pad_h // 4, cfg.pad_w // 4
+    n = min(len(frame['labels']), g)
+    boxes = np.zeros((g, 4), np.float32)
+    labels = np.zeros((g,), np.int32)
+    ids = np.zeros((g,), np.int32)
+    valid = np.zeros((g,), bool)
+    masks = np.zeros((g, hp, wp), np.uint8)
+    boxes[:n] = frame['boxes'][:n]
+    labels[:n] = frame['labels'][:n]
+    ids[:n] = frame['ids'][:n]
+    valid[:n] = True
+    masks[:n] = frame['masks_proto'][:n]
+    return {'image': frame['image'], 'boxes': boxes, 'labels': labels,
+            'ids': ids, 'valid': valid, 'masks_proto': masks}

@@ -1,0 +1,106 @@
+"""The compiled data-parallel training step.
+
+Replaces the reference's single-process ``nn.DataParallel`` training loop
+(``train.py:153-175`` CustomDataParallel scatter/gather + loss-mean at
+``train.py:310``) with a ``jax.jit``-compiled step over a device mesh: the
+batch is sharded along its leading axis, XLA inserts the gradient
+all-reduce over ICI, and the non-finite-loss step skip
+(``train.py:314-316``) is a masked update inside the same program.
+
+SGD with momentum + weight decay matches ``train.py:213``
+(SGD(momentum=0.9, weight_decay=cfg.decay)).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import STMaskConfig
+from ..models.stmask import STMask
+from ..ops.anchors import all_priors
+from .losses import compute_losses
+from .schedule import learning_rate
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(cfg: STMaskConfig) -> optax.GradientTransformation:
+    def lr_fn(step):
+        return learning_rate(cfg, step)
+    return optax.chain(
+        optax.add_decayed_weights(cfg.decay),
+        optax.sgd(learning_rate=lr_fn, momentum=cfg.momentum),
+    )
+
+
+def build_train_step(cfg: STMaskConfig, model: STMask):
+    """Returns (train_step, init_state_fn).
+
+    train_step(state, batch) -> (state, metrics); batch:
+      images [B, 2, H, W, 3] normalized;
+      boxes [B, 2, G, 4]; labels/ids/valid [B, 2, G];
+      masks_proto [B, 2, G, Hp, Wp] uint8.
+    """
+    priors = jnp.asarray(all_priors(cfg))
+    tx = make_optimizer(cfg)
+
+    def loss_fn(params, batch):
+        images = batch['images']
+        b = images.shape[0]
+        preds = model.apply(params, images, train=True)
+
+        def flatten(x):
+            return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+
+        gt = {
+            'boxes': flatten(batch['boxes']),
+            'labels': flatten(batch['labels']),
+            'ids': flatten(batch['ids']),
+            'valid': flatten(batch['valid']),
+            'masks_proto': flatten(batch['masks_proto']),
+        }
+        if 'masks_p3' in batch:
+            gt['masks_p3'] = flatten(batch['masks_p3'])
+
+        def temporal_net_fn(x):
+            return model.apply(params, x, method=STMask.temporal_shift)
+
+        losses = compute_losses(cfg, preds, gt, priors, temporal_net_fn)
+        total = sum(losses.values())
+        return total, losses
+
+    @jax.jit
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        (total, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch)
+
+        # skip the update when the loss is non-finite (train.py:314-316)
+        finite = jnp.isfinite(total)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_params = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(finite, n, o), new_params, state.params)
+        new_opt = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(finite, n, o), new_opt, state.opt_state)
+
+        metrics = dict(losses)
+        metrics['total'] = total
+        metrics['lr'] = learning_rate(cfg, state.step)
+        return TrainState(new_params, new_opt, state.step + 1), metrics
+
+    def init_state(params) -> TrainState:
+        return TrainState(params, tx.init(params),
+                          jnp.zeros((), jnp.int32))
+
+    return train_step, init_state
