@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Evaluation driver — the TPU-native analog of the reference ``eval.py``.
+
+Modes (mirroring the reference flag surface, ``eval.py:39-134``):
+  * dataset eval -> YTVIS-format JSON (+ optional metrics vs gt);
+  * ``--benchmark``: FPS with warm-up exclusion and a per-stage table;
+  * ``--metrics_only``: score an existing results JSON;
+  * single video / image folder via ``--video_dir``.
+
+The per-frame compute is ONE jitted program (see
+``stmask_tpu/inference/pipeline.py``); videos stream sequentially, and
+multi-chip eval shards whole videos across processes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description='stmask-tpu evaluation')
+    p.add_argument('--config', default=None)
+    p.add_argument('--trained_model', default=None,
+                   help='orbax dir or torch .pth checkpoint')
+    p.add_argument('--ann_file', default=None)
+    p.add_argument('--img_prefix', default=None)
+    p.add_argument('--mask_det_file', default='results/results.json')
+    p.add_argument('--benchmark', action='store_true')
+    p.add_argument('--metrics_only', action='store_true')
+    p.add_argument('--eval_metrics', action='store_true',
+                   help='score results against --ann_file annotations')
+    p.add_argument('--max_videos', type=int, default=-1)
+    p.add_argument('--score_threshold', type=float, default=0.0)
+    p.add_argument('--video_dir', default=None,
+                   help='directory of frames for a single video')
+    return p.parse_args(argv)
+
+
+def load_model(args):
+    import jax
+    import jax.numpy as jnp
+    from stmask_tpu.config import (config_from_checkpoint_name, get_config)
+    from stmask_tpu.models import STMask
+
+    cfg = None
+    if args.config:
+        cfg = get_config(args.config)
+    elif args.trained_model:
+        cfg = config_from_checkpoint_name(args.trained_model)
+    if cfg is None:
+        cfg = get_config('STMask_plus_resnet50')
+        print(f'No config resolved; defaulting to {cfg.name}')
+
+    model = STMask(cfg)
+    x0 = jnp.zeros((1, cfg.pad_h, cfg.pad_w, 3))
+    params = model.init(jax.random.PRNGKey(0), x0, train=False)
+
+    if args.trained_model:
+        if args.trained_model.endswith('.pth'):
+            from stmask_tpu.convert import (load_torch_checkpoint,
+                                            merge_params)
+            converted = load_torch_checkpoint(args.trained_model)
+            params = merge_params(params, converted['params'])
+        else:
+            import orbax.checkpoint as ocp
+            params = ocp.StandardCheckpointer().restore(
+                os.path.abspath(args.trained_model), params)
+    return cfg, model, params
+
+
+def evaluate_dataset(args, cfg, model, params):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from stmask_tpu.data import YTVISDataset, load_image_rgb
+    from stmask_tpu.data.transforms import preprocess_frame
+    from stmask_tpu.inference import (build_video_step, postprocess_frame,
+                                      results2json_videoseg)
+    from stmask_tpu.utils.logger import StageTimer
+
+    dataset = YTVISDataset(args.ann_file, args.img_prefix,
+                           has_annotations=args.eval_metrics)
+    video_step, make_state = build_video_step(cfg, model)
+
+    timer = StageTimer()
+    results = []
+    vids = dataset.video_ids()
+    # shard whole videos across processes (tracking is per-video sequential)
+    vids = vids[jax.process_index()::jax.process_count()]
+    if args.max_videos > 0:
+        vids = vids[:args.max_videos]
+
+    n_frames = 0
+    t_start = None
+    for vi, vid in enumerate(vids):
+        state = make_state()
+        nf = dataset.num_frames(vid)
+        for f in range(nf):
+            with timer.env('load'):
+                img = load_image_rgb(dataset.frame_path(vid, f))
+                pre = preprocess_frame(cfg, img)
+                frame = jnp.asarray(pre['image'])
+            with timer.env('step'):
+                state, out = video_step(params, state, frame,
+                                        jnp.asarray(f == 0))
+                out = jax.tree_util.tree_map(np.asarray, out)
+            with timer.env('postprocess'):
+                meta = {'video_id': vid, 'frame_id': f,
+                        'img_shape': pre['img_shape'],
+                        'pad_shape': pre['pad_shape']}
+                results.append(postprocess_frame(
+                    cfg, out, meta, score_threshold=args.score_threshold))
+            n_frames += 1
+            if args.benchmark and n_frames == 5:
+                t_start = time.perf_counter()   # exclude warmup
+        print(f'video {vi + 1}/{len(vids)} ({nf} frames) done')
+        if args.benchmark and n_frames >= 300:
+            break
+
+    if args.benchmark and t_start is not None:
+        fps = (n_frames - 5) / (time.perf_counter() - t_start)
+        timer.print_stats()
+        print(f'FPS: {fps:.2f}')
+        return
+
+    out_file = args.mask_det_file
+    json_results = results2json_videoseg(results, out_file)
+    print(f'wrote {len(json_results)} tracks to {out_file}')
+
+    if args.eval_metrics:
+        from stmask_tpu.utils.ytvis_eval import evaluate_ytvis
+        with open(args.ann_file) as fh:
+            gt = json.load(fh)
+        stats = evaluate_ytvis(gt, json_results)
+        print(json.dumps(stats, indent=2))
+        return stats
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    if args.metrics_only:
+        from stmask_tpu.utils.ytvis_eval import evaluate_ytvis
+        stats = evaluate_ytvis(args.ann_file, args.mask_det_file)
+        print(json.dumps(stats, indent=2))
+        return 0
+
+    if args.ann_file is None:
+        print('need --ann_file (and --img_prefix) for dataset eval',
+              file=sys.stderr)
+        return 2
+
+    cfg, model, params = load_model(args)
+    evaluate_dataset(args, cfg, model, params)
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

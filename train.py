@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Training driver — the TPU-native analog of the reference ``train.py``.
+
+Same public surface (config by name, batch-size autoscaling, warmup + step
+decay, periodic/interrupt checkpoints, in-train validation, JSON-lines
+logging) but one compiled data-parallel step over a device mesh instead of
+``nn.DataParallel`` (reference ``train.py:153-175,263-380``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description='stmask-tpu training')
+    p.add_argument('--config', default='STMask_plus_resnet50',
+                   help='config preset name (see stmask_tpu.config.REGISTRY)')
+    p.add_argument('--batch_size', type=int, default=8)
+    p.add_argument('--resume', default=None,
+                   help='checkpoint path, or "latest"/"interrupt"')
+    p.add_argument('--init_weights', default=None,
+                   help='torch .pth (COCO YOLACT++) or orbax dir to '
+                        'partially initialize from')
+    p.add_argument('--ann_file', default=None)
+    p.add_argument('--img_prefix', default=None)
+    p.add_argument('--save_folder', default='weights/')
+    p.add_argument('--log_folder', default='logs/')
+    p.add_argument('--save_interval', type=int, default=10000)
+    p.add_argument('--keep_latest', type=int, default=0)
+    p.add_argument('--validation_epoch', type=int, default=2)
+    p.add_argument('--num_workers', type=int, default=8)
+    p.add_argument('--max_iter', type=int, default=None)
+    p.add_argument('--lr', type=float, default=None)
+    p.add_argument('--no_autoscale', action='store_true')
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stmask_tpu.config import get_config
+    from stmask_tpu.data import ClipLoader, Prefetcher, YTVISDataset
+    from stmask_tpu.models import STMask
+    from stmask_tpu.parallel import make_mesh, replicate, shard_batch
+    from stmask_tpu.train import autoscale, build_train_step
+    from stmask_tpu.train.checkpoint import (CheckpointManager,
+                                             InterruptSaver)
+    from stmask_tpu.utils.logger import Log, MovingAverage
+
+    cfg = get_config(args.config)
+    if not args.no_autoscale:
+        cfg = autoscale(cfg, args.batch_size)
+    if args.lr is not None:
+        cfg = cfg.replace(lr=args.lr)
+    if args.max_iter is not None:
+        cfg = cfg.replace(max_iter=args.max_iter)
+
+    if args.ann_file is None or args.img_prefix is None:
+        print('No --ann_file/--img_prefix given; nothing to train on.',
+              file=sys.stderr)
+        return 2
+
+    dataset = YTVISDataset(args.ann_file, args.img_prefix)
+    loader = ClipLoader(cfg, dataset, args.batch_size,
+                        num_workers=args.num_workers,
+                        num_shards=jax.process_count(),
+                        shard_id=jax.process_index())
+
+    model = STMask(cfg)
+    x0 = jnp.zeros((1, 2, cfg.pad_h, cfg.pad_w, 3))
+    params = model.init(jax.random.PRNGKey(0), x0, train=True)
+
+    if args.init_weights and args.init_weights.endswith('.pth'):
+        from stmask_tpu.convert import load_torch_checkpoint, merge_params
+        converted = load_torch_checkpoint(args.init_weights)
+        params = merge_params(params, converted['params'])
+        params = {'params': params['params']} if 'params' in params \
+            else params
+
+    train_step, init_state = build_train_step(cfg, model)
+    state = init_state(params)
+
+    ckpt = CheckpointManager(args.save_folder, cfg.name,
+                             keep_latest=args.keep_latest)
+    start_iter = 0
+    if args.resume:
+        path = {'latest': ckpt.get_latest(),
+                'interrupt': ckpt.get_interrupt()}.get(args.resume,
+                                                       args.resume)
+        if path:
+            from stmask_tpu.train.checkpoint import parse_ckpt_name
+            state = ckpt.restore(path, state)
+            parsed = parse_ckpt_name(path)
+            if parsed:
+                start_iter = parsed[2]
+            print(f'Resumed from {path} at iteration {start_iter}')
+
+    mesh = make_mesh()
+    state = replicate(mesh, state)
+
+    log = Log(cfg.name, args.log_folder,
+              session_data={'args': vars(args), 'config': cfg.name})
+    loss_avgs = {}
+    time_avg = MovingAverage()
+
+    iteration = start_iter
+    epoch_size = max(1, len(loader.index) // args.batch_size)
+    num_epochs = (cfg.max_iter + epoch_size - 1) // epoch_size
+
+    with InterruptSaver(ckpt) as saver:
+        for epoch in range(num_epochs):
+            if (epoch + 1) * epoch_size < iteration:
+                continue
+            batches = Prefetcher(loader.epoch(epoch),
+                                 put_fn=lambda b: shard_batch(
+                                     mesh, jax.tree_util.tree_map(
+                                         jnp.asarray, b)))
+            for batch in batches:
+                if iteration >= cfg.max_iter:
+                    break
+                t0 = time.perf_counter()
+                state, metrics = train_step(state, batch)
+                metrics = {k: float(v) for k, v in metrics.items()}
+                time_avg.append(time.perf_counter() - t0)
+                iteration += 1
+                saver.update(state, epoch, iteration)
+
+                for k, v in metrics.items():
+                    loss_avgs.setdefault(k, MovingAverage(100)).append(v)
+                if iteration % 10 == 0:
+                    eta = (cfg.max_iter - iteration) * time_avg.get_avg()
+                    msg = ' '.join(f'{k}: {loss_avgs[k].get_avg():.3f}'
+                                   for k in sorted(loss_avgs))
+                    print(f'[{epoch:3d}] {iteration:7d} | {msg} | '
+                          f'ETA: {eta / 3600:.2f}h')
+                log.log('train', data=metrics, epoch=epoch, iter=iteration)
+
+                if iteration % args.save_interval == 0 and iteration > 0:
+                    print('Saving state, iter:', iteration)
+                    ckpt.save(state, epoch, iteration)
+            if iteration >= cfg.max_iter:
+                break
+
+    ckpt.save(state, num_epochs, iteration)
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
