@@ -220,8 +220,18 @@ def verify_against(params_converted: Dict, params_init: Dict) -> None:
 def merge_params(params_init: Dict, params_converted: Dict) -> Dict:
     """Overlay converted weights on an initialized tree, keeping init values
     for anything absent (reference init_weights partial-load semantics,
-    STMask.py:157-188)."""
+    STMask.py:157-188).  Accepts either full variables dicts ({'params': ..})
+    or bare param trees on either side."""
     import jax
+
+    # align the optional top-level 'params' wrapper
+    if isinstance(params_init, dict) and 'params' in params_init \
+            and 'params' not in (params_converted or {}):
+        inner = merge_params(params_init['params'], params_converted)
+        return {**params_init, 'params': inner}
+    if isinstance(params_converted, dict) and 'params' in params_converted \
+            and 'params' not in params_init:
+        return merge_params(params_init, params_converted['params'])
 
     def merge(init_node, conv_node):
         if not isinstance(init_node, dict):

@@ -173,7 +173,14 @@ class PredictionHead(nn.Module):
             'T2S_feat': t2s_feat,
         }
         if c.train_centerness:
-            out['centerness'] = jnp.tanh(interleave(center_banks, 1))
+            # Reference quirk kept for checkpoint parity: centerness banks
+            # are concatenated along H (bank-major anchor order), NOT
+            # position-interleaved like every other branch
+            # (prediction_head_FC.py:160 permutes then :189 cats dim=1).
+            # Training and inference pair it with anchors by flat index
+            # consistently, so the layout is learned.
+            cent = jnp.concatenate(center_banks, axis=1)     # [B, banks*H, W, s]
+            out['centerness'] = jnp.tanh(cent.reshape(b, -1, 1))
         if c.train_track:
             track = interleave(track_banks, c.embed_dim)
             norm = jnp.linalg.norm(track, axis=-1, keepdims=True)
