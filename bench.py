@@ -25,7 +25,7 @@ FRAMES = 50
 
 def main():
     from stmask_tpu.config import get_config
-    from stmask_tpu.inference import build_video_step
+    from stmask_tpu.inference import build_video_step, cast_params
     from stmask_tpu.models import STMask
 
     cfg = get_config('STMask_plus_resnet50')
@@ -33,9 +33,11 @@ def main():
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((1, cfg.pad_h, cfg.pad_w, 3))
     params = model.init(rng, x0, train=False)
+    # production serving dtype: bf16 convs, fp32 decode/NMS/tracking
+    params = cast_params(params, jnp.bfloat16)
 
     video_step, make_state = build_video_step(cfg, model)
-    state = make_state()
+    state = make_state(feat_dtype=jnp.bfloat16)
 
     frames = [jnp.asarray(np.random.RandomState(i)
                           .randn(cfg.pad_h, cfg.pad_w, 3).astype(np.float32))

@@ -36,10 +36,13 @@ def build_video_step(cfg: STMaskConfig, model: STMask):
     """
     priors = jnp.asarray(all_priors(cfg))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def video_step(params, state: TrackState, frame: jax.Array,
                    is_first: jax.Array) -> Tuple[TrackState, FrameOutput]:
-        preds = model.apply(params, frame[None], train=False)
+        # compute in the parameter dtype (bf16 params -> bf16 convs)
+        param_dtype = jax.tree_util.tree_leaves(params)[0].dtype
+        preds = model.apply(params, frame[None].astype(param_dtype),
+                            train=False)
         frame_preds = {
             'loc': preds['loc'][0],
             'conf': preds['conf'][0],
@@ -62,10 +65,25 @@ def build_video_step(cfg: STMaskConfig, model: STMask):
             state, out = track_step_simple(cfg, state, det, proto, is_first)
         return state, out
 
-    def make_init_state() -> TrackState:
+    def make_init_state(feat_dtype=jnp.float32) -> TrackState:
         feat_shape = cfg.feature_shapes()[cfg.correlation_selected_layer]
         proto_shape = (cfg.pad_h // 4, cfg.pad_w // 4)
         return init_state(cfg, feat_shape, proto_shape,
-                          cfg.fpn.num_features, cfg.embed_dim)
+                          cfg.fpn.num_features, cfg.embed_dim,
+                          feat_dtype=feat_dtype)
 
     return video_step, make_init_state
+
+
+def cast_params(params, dtype=jnp.bfloat16):
+    """Cast float params to a compute dtype (bf16 inference: MXU-native and
+    half the HBM traffic; decode-side heads are cast back to fp32 inside the
+    model)."""
+    import jax.numpy as _jnp
+
+    def cast(x):
+        if hasattr(x, 'dtype') and x.dtype == _jnp.float32:
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, params)

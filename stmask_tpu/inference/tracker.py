@@ -60,7 +60,8 @@ class TrackState(NamedTuple):
 
 def init_state(cfg: STMaskConfig, feat_shape: Tuple[int, int],
                proto_shape: Tuple[int, int], feat_ch: int = 256,
-               embed_dim: int | None = None) -> TrackState:
+               embed_dim: int | None = None,
+               feat_dtype=jnp.float32) -> TrackState:
     t = cfg.track_capacity
     e = embed_dim or cfg.embed_dim
     hp, wp = proto_shape
@@ -73,8 +74,8 @@ def init_state(cfg: STMaskConfig, feat_shape: Tuple[int, int],
         mask=jnp.zeros((t, hp, wp)), age=jnp.zeros((t,), jnp.int32),
         valid=jnp.zeros((t,), bool), obj_id=jnp.zeros((t,), jnp.int32),
         next_id=jnp.zeros((), jnp.int32),
-        fpn_feat=jnp.zeros((h4, w4, feat_ch)),
-        t2s_feat=jnp.zeros((h4, w4, feat_ch)))
+        fpn_feat=jnp.zeros((h4, w4, feat_ch), feat_dtype),
+        t2s_feat=jnp.zeros((h4, w4, feat_ch), feat_dtype))
 
 
 def candidate_shift(cfg: STMaskConfig, temporal_net_fn, state: TrackState,
@@ -137,71 +138,66 @@ def _free_slots(cfg: STMaskConfig, state: TrackState) -> jax.Array:
     return ~state.valid | dead
 
 
+def _cond_write(arr: jax.Array, slot, row, cond) -> jax.Array:
+    """Write one row at a dynamic slot, predicated: O(row) work, never a
+    full-array select (the naive where-blend would stream the whole track
+    bank — including [T, Hp, Wp] masks — per detection)."""
+    old = arr[slot]
+    new = jnp.where(jnp.reshape(cond, (1,) * jnp.ndim(row)), row, old)
+    return arr.at[slot].set(new)
+
+
 def assign_ids(cfg: STMaskConfig, det: Detections, det_masks: jax.Array,
                state: TrackState) -> TrackState:
     """Greedy detection->track assignment with conflict resolution
-    (reference track_TF.py:125-156), as a fori_loop over detections."""
+    (reference track_TF.py:125-156), as a fori_loop over detections with
+    row-predicated dynamic writes."""
     comp = _comp_scores(cfg, det, det_masks, state)              # [D, T+1]
     match_ids = jnp.argmax(comp, axis=1)                         # [D]
     d = det.box.shape[0]
     t = state.box.shape[0]
 
-    def write_slot(st: TrackState, slot, i, new_id=None):
-        """Overwrite slot fields from detection i; age reset."""
-        upd = dict(
-            box=st.box.at[slot].set(det.box[i]),
-            score=st.score.at[slot].set(det.score[i]),
-            cls=st.cls.at[slot].set(det.cls[i]),
-            mask_coeff=st.mask_coeff.at[slot].set(det.mask_coeff[i]),
-            track=st.track.at[slot].set(det.track[i]),
-            centerness=st.centerness.at[slot].set(det.centerness[i]),
-            mask=st.mask.at[slot].set(det_masks[i]),
-            age=st.age.at[slot].set(0),
-            valid=st.valid.at[slot].set(True),
+    def write_det(st: TrackState, slot, i, cond) -> TrackState:
+        return st._replace(
+            box=_cond_write(st.box, slot, det.box[i], cond),
+            score=_cond_write(st.score, slot, det.score[i], cond),
+            cls=_cond_write(st.cls, slot, det.cls[i], cond),
+            mask_coeff=_cond_write(st.mask_coeff, slot, det.mask_coeff[i],
+                                   cond),
+            track=_cond_write(st.track, slot, det.track[i], cond),
+            centerness=_cond_write(st.centerness, slot, det.centerness[i],
+                                   cond),
+            mask=_cond_write(st.mask, slot, det_masks[i], cond),
+            age=_cond_write(st.age, slot, jnp.int32(0), cond),
+            valid=_cond_write(st.valid, slot, jnp.bool_(True), cond),
         )
-        if new_id is not None:
-            upd['obj_id'] = st.obj_id.at[slot].set(new_id)
-            upd['next_id'] = new_id + 1
-        return st._replace(**upd)
 
     def body(i, carry):
         st, best_score, free = carry
         mid = match_ids[i]
         is_valid = det.valid[i]
-        is_new = mid == 0
+        is_new = is_valid & (mid == 0)
+        is_match = is_valid & (mid > 0)
 
-        # --- new object: allocate a free slot (prefer never-used ones) ---
-        def do_new(args):
-            st, best_score, free = args
-            slot = jnp.argmax(free.astype(jnp.int32)
+        # new object -> first free slot (prefer never-used ones)
+        slot_new = jnp.argmax(free.astype(jnp.int32)
                               + (free & ~st.valid).astype(jnp.int32))
-            has_free = jnp.any(free)
-            st2 = write_slot(st, slot, i, new_id=st.next_id)
-            st2 = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(has_free, a, b), st2, st)
-            free2 = jnp.where(has_free, free.at[slot].set(False), free)
-            return st2, best_score, free2
+        cond_new = is_new & jnp.any(free)
 
-        # --- existing object: overwrite if this det scores higher ---
-        def do_match(args):
-            st, best_score, free = args
-            slot = mid - 1
-            better = det.score[i] > best_score[slot]
-            st2 = write_slot(st, slot, i)
-            st2 = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(better, a, b), st2, st)
-            bs2 = jnp.where(better, best_score.at[slot].set(det.score[i]),
-                            best_score)
-            return st2, bs2, free
+        # existing object -> overwrite if this det scores higher
+        slot_m = jnp.maximum(mid - 1, 0)
+        cond_m = is_match & (det.score[i] > best_score[slot_m])
 
-        def do_skip(args):
-            return args
+        st = write_det(st, slot_new, i, cond_new)
+        st = st._replace(
+            obj_id=_cond_write(st.obj_id, slot_new, st.next_id, cond_new),
+            next_id=jnp.where(cond_new, st.next_id + 1, st.next_id))
+        free = free.at[slot_new].set(jnp.where(cond_new, False,
+                                               free[slot_new]))
 
-        st, best_score, free = jax.lax.cond(
-            is_valid,
-            lambda a: jax.lax.cond(is_new, do_new, do_match, a),
-            do_skip,
-            (st, best_score, free))
+        st = write_det(st, slot_m, i, cond_m)
+        best_score = best_score.at[slot_m].set(
+            jnp.where(cond_m, det.score[i], best_score[slot_m]))
         return st, best_score, free
 
     free0 = _free_slots(cfg, state)
@@ -231,7 +227,8 @@ def track_step_tf(cfg: STMaskConfig, temporal_net_fn, state: TrackState,
     """
     # reset on the first frame of a video
     empty = init_state(cfg, cur_fpn_feat.shape[:2], cur_proto.shape[:2],
-                       cur_fpn_feat.shape[-1], state.track.shape[-1])
+                       cur_fpn_feat.shape[-1], state.track.shape[-1],
+                       cur_fpn_feat.dtype)
     state = jax.tree_util.tree_map(
         lambda e, s: jnp.where(
             jnp.reshape(is_first, (1,) * e.ndim), e, s), empty, state)
@@ -298,64 +295,55 @@ def track_step_simple(cfg: STMaskConfig, state: TrackState, det: Detections,
     mious = jnp.where(state.valid[None, :], mious, 0.0)
     overlap_many = jnp.sum(mious > 0.3, axis=1) >= 2            # [D]
 
-    def write_slot(st, slot, i, new_id=None):
-        upd = dict(
-            box=st.box.at[slot].set(det.box[i]),
-            score=st.score.at[slot].set(det.score[i]),
-            cls=st.cls.at[slot].set(det.cls[i]),
-            mask_coeff=st.mask_coeff.at[slot].set(det.mask_coeff[i]),
-            track=st.track.at[slot].set(det.track[i]),
-            centerness=st.centerness.at[slot].set(det.centerness[i]),
-            mask=st.mask.at[slot].set(det_masks[i]),
-            age=st.age.at[slot].set(0),
-            valid=st.valid.at[slot].set(True))
-        if new_id is not None:
-            upd['obj_id'] = st.obj_id.at[slot].set(new_id)
-            upd['next_id'] = new_id + 1
-        return st._replace(**upd)
+    def write_det(st, slot, i, cond):
+        return st._replace(
+            box=_cond_write(st.box, slot, det.box[i], cond),
+            score=_cond_write(st.score, slot, det.score[i], cond),
+            cls=_cond_write(st.cls, slot, det.cls[i], cond),
+            mask_coeff=_cond_write(st.mask_coeff, slot, det.mask_coeff[i],
+                                   cond),
+            track=_cond_write(st.track, slot, det.track[i], cond),
+            centerness=_cond_write(st.centerness, slot, det.centerness[i],
+                                   cond),
+            mask=_cond_write(st.mask, slot, det_masks[i], cond),
+            age=_cond_write(st.age, slot, jnp.int32(0), cond),
+            valid=_cond_write(st.valid, slot, jnp.bool_(True), cond))
 
     def body(i, carry):
         st, best_score, free, det_ids = carry
         mid = match_ids[i]
         is_valid = det.valid[i]
-        is_new = mid == 0
+        is_new = is_valid & (mid == 0)
+        is_match = is_valid & (mid > 0)
 
-        def do_new(args):
-            st, best_score, free, det_ids = args
-            slot = jnp.argmax(free.astype(jnp.int32)
+        slot_new = jnp.argmax(free.astype(jnp.int32)
                               + (free & ~st.valid).astype(jnp.int32))
-            has_free = jnp.any(free)
-            st2 = write_slot(st, slot, i, new_id=st.next_id)
-            st2 = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(has_free, a, b), st2, st)
-            det_ids2 = jnp.where(has_free,
-                                 det_ids.at[i].set(st.next_id), det_ids)
-            free2 = jnp.where(has_free, free.at[slot].set(False), free)
-            return st2, best_score, free2, det_ids2
+        cond_new = is_new & jnp.any(free)
+        st = write_det(st, slot_new, i, cond_new)
+        st = st._replace(
+            obj_id=_cond_write(st.obj_id, slot_new, st.next_id, cond_new),
+            next_id=jnp.where(cond_new, st.next_id + 1, st.next_id))
+        det_ids = det_ids.at[i].set(
+            jnp.where(cond_new, st.obj_id[slot_new], det_ids[i]))
+        free = free.at[slot_new].set(jnp.where(cond_new, False,
+                                               free[slot_new]))
 
-        def do_match(args):
-            st, best_score, free, det_ids = args
-            slot = mid - 1
-            better = det.score[i] > best_score[slot]
-            # displace the previous best det for this track (id -> -1)
-            prev_mask = det_ids == st.obj_id[slot]
-            det_ids2 = jnp.where(better & prev_mask, -1, det_ids)
-            det_ids2 = jnp.where(better, det_ids2.at[i].set(st.obj_id[slot]),
-                                 det_ids2)
-            do_update = better & ~overlap_many[i]
-            st2 = write_slot(st, slot, i)
-            st2 = st2._replace(obj_id=st.obj_id)  # id unchanged on update
-            st2 = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(do_update, a, b), st2, st)
-            bs2 = jnp.where(better, best_score.at[slot].set(det.score[i]),
-                            best_score)
-            return st2, bs2, free, det_ids2
-
-        return jax.lax.cond(
-            is_valid,
-            lambda a: jax.lax.cond(is_new, do_new, do_match, a),
-            lambda a: a,
-            (st, best_score, free, det_ids))
+        slot_m = jnp.maximum(mid - 1, 0)
+        better = is_match & (det.score[i] > best_score[slot_m])
+        # displace the previous best det for this track (its id -> -1)
+        prev_mask = better & (det_ids == st.obj_id[slot_m])
+        det_ids = jnp.where(prev_mask, -1, det_ids)
+        det_ids = det_ids.at[i].set(
+            jnp.where(better, st.obj_id[slot_m], det_ids[i]))
+        # memory update additionally gated by the mask-overlap test
+        do_update = better & ~overlap_many[i]
+        saved_id = st.obj_id[slot_m]
+        st = write_det(st, slot_m, i, do_update)
+        st = st._replace(
+            obj_id=_cond_write(st.obj_id, slot_m, saved_id, do_update))
+        best_score = best_score.at[slot_m].set(
+            jnp.where(better, det.score[i], best_score[slot_m]))
+        return st, best_score, free, det_ids
 
     free0 = _free_slots(cfg, state)
     best0 = jnp.full((t,), -1.0)

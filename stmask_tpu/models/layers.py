@@ -40,8 +40,11 @@ class FrozenBatchNorm(nn.Module):
         bias = self.param('bias', nn.initializers.zeros, (self.features,))
         mean = self.param('mean', nn.initializers.zeros, (self.features,))
         var = self.param('var', nn.initializers.ones, (self.features,))
-        inv = scale * jax.lax.rsqrt(var + self.eps)
-        return x * inv + (bias - mean * inv)
+        # fold in fp32 regardless of compute dtype, then cast to x.dtype
+        f32 = jnp.float32
+        inv = (scale.astype(f32) * jax.lax.rsqrt(var.astype(f32) + self.eps))
+        shift = bias.astype(f32) - mean.astype(f32) * inv
+        return x * inv.astype(x.dtype) + shift.astype(x.dtype)
 
 
 class MakeNet(nn.Module):

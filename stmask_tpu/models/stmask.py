@@ -105,6 +105,11 @@ class STMask(nn.Module):
             return pred_outs
         else:
             fpn_outs, pred_outs = self.forward_single(x)
+            # decode-side tensors in fp32 regardless of compute dtype
+            for k in ('loc', 'conf', 'mask_coeff', 'track', 'centerness',
+                      'proto'):
+                if k in pred_outs:
+                    pred_outs[k] = pred_outs[k].astype(jnp.float32)
             pred_outs['conf'] = jax.nn.softmax(pred_outs['conf'], axis=-1)
             if c.temporal_fusion_module:
                 pred_outs['fpn_feat'] = fpn_outs[c.correlation_selected_layer]

@@ -82,9 +82,9 @@ def deform_conv2d(x: jax.Array,
 
     vals = vals.reshape(b, ho, wo, k * cin)
     out = jnp.dot(vals, weight.reshape(k * cin, cout),
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32).astype(x.dtype)
     if bias is not None:
-        out = out + bias
+        out = out + bias.astype(x.dtype)
     return out
 
 
