@@ -192,6 +192,7 @@ class STMaskConfig:
     max_gt_per_frame: int = 32            # padded gt capacity for training
     det_capacity: int = 100               # padded detections after NMS
     track_capacity: int = 128             # padded track-state slots
+    shift_capacity: int = 32              # active slots run through TemporalNet
 
     # ---- input geometry ----
     img_w: int = 640

@@ -55,13 +55,19 @@ def detect_frame(cfg: STMaskConfig, preds: dict,
     nms_scores = jnp.where(passed, conf_max * centerness, NEG_INF)
     res = cc_fast_nms(boxes, nms_scores, cfg.nms_thresh, cfg.nms_top_k)
 
-    idx = res.idx
+    # compact the NMS survivors into det_capacity slots (score-sorted);
+    # >det_capacity survivors at 0.05 conf never occurs in practice and the
+    # reference caps final detections at max_num_detections=100 anyway
+    d = min(cfg.det_capacity, cfg.nms_top_k)
+    surv_scores = jnp.where(res.valid, res.scores, NEG_INF)
+    top_s, top_i = jax.lax.top_k(surv_scores, d)
+    idx = res.idx[top_i]
     return Detections(
         box=boxes[idx],
-        score=res.scores,
+        score=top_s,
         cls=classes[idx],
         mask_coeff=preds['mask_coeff'][idx],
         track=preds['track'][idx],
         centerness=centerness[idx],
-        valid=res.valid,
+        valid=top_s > NEG_INF / 2,
     )

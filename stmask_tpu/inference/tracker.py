@@ -81,23 +81,42 @@ def init_state(cfg: STMaskConfig, feat_shape: Tuple[int, int],
 def candidate_shift(cfg: STMaskConfig, temporal_net_fn, state: TrackState,
                     cur_fpn_feat: jax.Array, cur_t2s_feat: jax.Array,
                     cur_proto: jax.Array) -> TrackState:
-    """Shift all track boxes/coeffs/masks to the current frame
-    (reference TF_utils.py:12-51 CandidateShift)."""
+    """Shift track boxes/coeffs/masks to the current frame
+    (reference TF_utils.py:12-51 CandidateShift).
+
+    TPU adaptation: the TemporalNet runs only on the first
+    ``shift_capacity`` *active* slots (valid and still output-eligible) —
+    the reference shifts its entire ever-growing candidate bank, but dead
+    tracks only matter if re-matched, where the detection refreshes them
+    anyway.  Score decay / aging still apply to every slot.
+    """
     h4, w4, _ = cur_fpn_feat.shape
     x_corr = correlate(state.fpn_feat[None], cur_fpn_feat[None],
                        patch_size=cfg.correlation_patch_size)[0]
     concat = jax.nn.relu(jnp.concatenate(
         [x_corr, state.t2s_feat, cur_t2s_feat], axis=-1))
 
-    boxes_feat = sanitize_coordinates_hw(state.box, h4, w4)
-    pooled = roi_align(concat, boxes_feat, pool_size=7)          # [T,7,7,C]
-    loc_shift, coeff_shift = temporal_net_fn(pooled)             # [T,4],[T,32]
+    s_cap = min(cfg.shift_capacity, cfg.track_capacity)
+    active = state.valid & ~((state.score <= cfg.eval_conf_thresh)
+                             & (state.age > cfg.max_tracked_mask_age))
+    _, sel = jax.lax.top_k(active.astype(jnp.float32), s_cap)
+    sel_valid = active[sel]                                       # [S]
 
-    box_shift = decode(loc_shift, center_size(state.box))
-    coeff = state.mask_coeff + coeff_shift
-    masks = generate_mask(cur_proto, coeff, box_shift)           # [T,Hp,Wp]
+    boxes_sel = state.box[sel]
+    boxes_feat = sanitize_coordinates_hw(boxes_sel, h4, w4)
+    pooled = roi_align(concat, boxes_feat, pool_size=7)           # [S,7,7,C]
+    loc_shift, coeff_shift = temporal_net_fn(pooled)              # [S,4],[S,32]
+
+    box_shift_sel = decode(loc_shift, center_size(boxes_sel))
+    coeff_sel = state.mask_coeff[sel] + coeff_shift
+
+    pred = jnp.reshape(sel_valid, (-1, 1))
+    box = state.box.at[sel].set(jnp.where(pred, box_shift_sel, boxes_sel))
+    coeff = state.mask_coeff.at[sel].set(
+        jnp.where(pred, coeff_sel, state.mask_coeff[sel]))
+    masks = generate_mask(cur_proto, coeff, box)                  # [T,Hp,Wp]
     return state._replace(
-        box=box_shift,
+        box=box,
         score=state.score * cfg.score_decay,
         mask_coeff=coeff,
         mask=masks,
