@@ -18,9 +18,11 @@ decayed below the output threshold AND age beyond the output window) are
 recycled for new tracks — a deviation from the reference only in the rare
 case where a long-dead track would have been re-matched.
 
-The greedy, order-dependent id assignment (``track_TF.py:132-156``) becomes a
-``lax.fori_loop`` over score-sorted detections with masked dynamic updates —
-bitwise-identical assignment order to the reference for valid detections.
+The greedy, order-dependent id assignment (``track_TF.py:132-156``) is
+resolved in closed form (``resolve_assignment``): the sequential
+strictly-greater replacement rule converges to the earliest-index per-track
+score argmax, so the whole loop becomes a handful of segment-max/scatter
+ops — no sequential iteration on device, identical results.
 """
 
 from __future__ import annotations
@@ -157,72 +159,114 @@ def _free_slots(cfg: STMaskConfig, state: TrackState) -> jax.Array:
     return ~state.valid | dead
 
 
-def _cond_write(arr: jax.Array, slot, row, cond) -> jax.Array:
-    """Write one row at a dynamic slot, predicated: O(row) work, never a
-    full-array select (the naive where-blend would stream the whole track
-    bank — including [T, Hp, Wp] masks — per detection)."""
-    old = arr[slot]
-    new = jnp.where(jnp.reshape(cond, (1,) * jnp.ndim(row)), row, old)
-    return arr.at[slot].set(new)
+class Assignment(NamedTuple):
+    """Vectorized resolution of the greedy det->track assignment."""
+    # matched updates
+    has_winner: jax.Array   # [T] slot receives a matched detection
+    winner_src: jax.Array   # [T] det index feeding the slot (clamped)
+    # new-track allocations
+    alloc_slot: jax.Array   # [D] slot each det would allocate (clamped)
+    can_alloc: jax.Array    # [D] det actually allocates a new track
+    new_rank: jax.Array     # [D] rank among allocating dets
+    det_slot: jax.Array     # [D] slot of this det's track (-1 if none)
+    num_new: jax.Array      # [] number of allocated tracks
+
+
+def resolve_assignment(cfg: STMaskConfig, match_ids: jax.Array,
+                       det_valid: jax.Array, det_scores: jax.Array,
+                       state: TrackState) -> Assignment:
+    """Closed-form equivalent of the reference's sequential greedy loop
+    (track_TF.py:132-156 / track.py:137-171).
+
+    The sequential rule replaces a track's detection only on a strictly
+    higher score, so for ANY iteration order it converges to the
+    earliest-index detection attaining the per-track score maximum;
+    displaced dets get no id and never allocate.  New-track slots follow
+    cumulative rank over the free-slot priority order.  All bulk vector
+    ops — no sequential loop.
+    """
+    d = match_ids.shape[0]
+    t = state.valid.shape[0]
+    det_idx = jnp.arange(d)
+    big = d + 1
+
+    is_match = det_valid & (match_ids > 0)
+    slot_of_det = jnp.where(is_match, match_ids - 1, 0)
+    best = jnp.full((t,), -jnp.inf).at[slot_of_det].max(
+        jnp.where(is_match, det_scores, -jnp.inf))
+    is_best = is_match & (det_scores == best[slot_of_det])
+    key = jnp.where(is_best, det_idx, big)
+    winner = jnp.full((t,), big, jnp.int32).at[slot_of_det].min(
+        key.astype(jnp.int32))
+    has_winner = winner < big
+    winner_src = jnp.minimum(winner, d - 1)
+
+    # new-track allocation: free slots ordered (never-used first, then
+    # recyclable), excluding slots just refreshed by a match
+    is_new = det_valid & (match_ids == 0)
+    free = _free_slots(cfg, state) & ~has_winner
+    prio = free.astype(jnp.int32) + (free & ~state.valid).astype(jnp.int32)
+    slot_order = jnp.argsort(-prio, stable=True)        # [T] best first
+    num_free = jnp.sum(free)
+    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1     # [D]
+    rank = jnp.where(is_new, rank, 0)
+    alloc_slot = slot_order[jnp.minimum(rank, t - 1)]
+    can_alloc = is_new & (rank < num_free)
+
+    det_slot = jnp.where(can_alloc, alloc_slot, -1)
+    det_is_winner = is_match & (winner[slot_of_det] == det_idx)
+    det_slot = jnp.where(det_is_winner, slot_of_det, det_slot)
+    return Assignment(has_winner, winner_src, alloc_slot, can_alloc,
+                      jnp.where(is_new, rank, 0), det_slot,
+                      jnp.sum(can_alloc))
+
+
+def _apply_assignment(state: TrackState, det: Detections,
+                      det_masks: jax.Array, asn: Assignment,
+                      update_winners: jax.Array) -> TrackState:
+    """Bulk-apply matched refreshes + new-track writes.
+
+    update_winners: [T] mask — which winning slots actually copy det
+    features (TF mode: all winners; simple mode: gated by mask overlap).
+    """
+    uw = update_winners
+    t = state.valid.shape[0]
+    # non-allocating dets scatter out of bounds -> dropped (no collision
+    # with real slots)
+    safe_slot = jnp.where(asn.can_alloc, asn.alloc_slot, t)
+
+    def upd(field_state, field_det, reset=None):
+        gathered = field_det[asn.winner_src]
+        cond = uw.reshape((-1,) + (1,) * (field_state.ndim - 1))
+        out = jnp.where(cond, gathered, field_state)
+        # scatter new-track rows (distinct slots per allocating det)
+        return out.at[safe_slot].set(field_det, mode='drop')
+
+    new_age = jnp.where(uw, 0, state.age)
+    new_age = new_age.at[safe_slot].set(0, mode='drop')
+    new_valid = state.valid.at[safe_slot].set(True, mode='drop')
+    new_ids = state.obj_id.at[safe_slot].set(
+        state.next_id + asn.new_rank, mode='drop')
+    return state._replace(
+        box=upd(state.box, det.box),
+        score=upd(state.score, det.score),
+        cls=upd(state.cls, det.cls),
+        mask_coeff=upd(state.mask_coeff, det.mask_coeff),
+        track=upd(state.track, det.track),
+        centerness=upd(state.centerness, det.centerness),
+        mask=upd(state.mask, det_masks),
+        age=new_age, valid=new_valid, obj_id=new_ids,
+        next_id=state.next_id + asn.num_new)
 
 
 def assign_ids(cfg: STMaskConfig, det: Detections, det_masks: jax.Array,
                state: TrackState) -> TrackState:
     """Greedy detection->track assignment with conflict resolution
-    (reference track_TF.py:125-156), as a fori_loop over detections with
-    row-predicated dynamic writes."""
+    (reference track_TF.py:125-156), fully vectorized."""
     comp = _comp_scores(cfg, det, det_masks, state)              # [D, T+1]
     match_ids = jnp.argmax(comp, axis=1)                         # [D]
-    d = det.box.shape[0]
-    t = state.box.shape[0]
-
-    def write_det(st: TrackState, slot, i, cond) -> TrackState:
-        return st._replace(
-            box=_cond_write(st.box, slot, det.box[i], cond),
-            score=_cond_write(st.score, slot, det.score[i], cond),
-            cls=_cond_write(st.cls, slot, det.cls[i], cond),
-            mask_coeff=_cond_write(st.mask_coeff, slot, det.mask_coeff[i],
-                                   cond),
-            track=_cond_write(st.track, slot, det.track[i], cond),
-            centerness=_cond_write(st.centerness, slot, det.centerness[i],
-                                   cond),
-            mask=_cond_write(st.mask, slot, det_masks[i], cond),
-            age=_cond_write(st.age, slot, jnp.int32(0), cond),
-            valid=_cond_write(st.valid, slot, jnp.bool_(True), cond),
-        )
-
-    def body(i, carry):
-        st, best_score, free = carry
-        mid = match_ids[i]
-        is_valid = det.valid[i]
-        is_new = is_valid & (mid == 0)
-        is_match = is_valid & (mid > 0)
-
-        # new object -> first free slot (prefer never-used ones)
-        slot_new = jnp.argmax(free.astype(jnp.int32)
-                              + (free & ~st.valid).astype(jnp.int32))
-        cond_new = is_new & jnp.any(free)
-
-        # existing object -> overwrite if this det scores higher
-        slot_m = jnp.maximum(mid - 1, 0)
-        cond_m = is_match & (det.score[i] > best_score[slot_m])
-
-        st = write_det(st, slot_new, i, cond_new)
-        st = st._replace(
-            obj_id=_cond_write(st.obj_id, slot_new, st.next_id, cond_new),
-            next_id=jnp.where(cond_new, st.next_id + 1, st.next_id))
-        free = free.at[slot_new].set(jnp.where(cond_new, False,
-                                               free[slot_new]))
-
-        st = write_det(st, slot_m, i, cond_m)
-        best_score = best_score.at[slot_m].set(
-            jnp.where(cond_m, det.score[i], best_score[slot_m]))
-        return st, best_score, free
-
-    free0 = _free_slots(cfg, state)
-    best0 = jnp.full((t,), -1.0)
-    state, _, _ = jax.lax.fori_loop(0, d, body, (state, best0, free0))
-    return state
+    asn = resolve_assignment(cfg, match_ids, det.valid, det.score, state)
+    return _apply_assignment(state, det, det_masks, asn, asn.has_winner)
 
 
 class FrameOutput(NamedTuple):
@@ -305,8 +349,6 @@ def track_step_simple(cfg: STMaskConfig, state: TrackState, det: Detections,
 
     comp = _comp_scores(cfg, det, det_masks, state)
     match_ids = jnp.argmax(comp, axis=1)
-    d = det.box.shape[0]
-    t = state.box.shape[0]
 
     # mask-overlap gate for memory update: det overlaps >=2 prev masks
     prev_masks = (state.mask > 0.5).astype(jnp.float32)
@@ -314,61 +356,14 @@ def track_step_simple(cfg: STMaskConfig, state: TrackState, det: Detections,
     mious = jnp.where(state.valid[None, :], mious, 0.0)
     overlap_many = jnp.sum(mious > 0.3, axis=1) >= 2            # [D]
 
-    def write_det(st, slot, i, cond):
-        return st._replace(
-            box=_cond_write(st.box, slot, det.box[i], cond),
-            score=_cond_write(st.score, slot, det.score[i], cond),
-            cls=_cond_write(st.cls, slot, det.cls[i], cond),
-            mask_coeff=_cond_write(st.mask_coeff, slot, det.mask_coeff[i],
-                                   cond),
-            track=_cond_write(st.track, slot, det.track[i], cond),
-            centerness=_cond_write(st.centerness, slot, det.centerness[i],
-                                   cond),
-            mask=_cond_write(st.mask, slot, det_masks[i], cond),
-            age=_cond_write(st.age, slot, jnp.int32(0), cond),
-            valid=_cond_write(st.valid, slot, jnp.bool_(True), cond))
-
-    def body(i, carry):
-        st, best_score, free, det_ids = carry
-        mid = match_ids[i]
-        is_valid = det.valid[i]
-        is_new = is_valid & (mid == 0)
-        is_match = is_valid & (mid > 0)
-
-        slot_new = jnp.argmax(free.astype(jnp.int32)
-                              + (free & ~st.valid).astype(jnp.int32))
-        cond_new = is_new & jnp.any(free)
-        st = write_det(st, slot_new, i, cond_new)
-        st = st._replace(
-            obj_id=_cond_write(st.obj_id, slot_new, st.next_id, cond_new),
-            next_id=jnp.where(cond_new, st.next_id + 1, st.next_id))
-        det_ids = det_ids.at[i].set(
-            jnp.where(cond_new, st.obj_id[slot_new], det_ids[i]))
-        free = free.at[slot_new].set(jnp.where(cond_new, False,
-                                               free[slot_new]))
-
-        slot_m = jnp.maximum(mid - 1, 0)
-        better = is_match & (det.score[i] > best_score[slot_m])
-        # displace the previous best det for this track (its id -> -1)
-        prev_mask = better & (det_ids == st.obj_id[slot_m])
-        det_ids = jnp.where(prev_mask, -1, det_ids)
-        det_ids = det_ids.at[i].set(
-            jnp.where(better, st.obj_id[slot_m], det_ids[i]))
-        # memory update additionally gated by the mask-overlap test
-        do_update = better & ~overlap_many[i]
-        saved_id = st.obj_id[slot_m]
-        st = write_det(st, slot_m, i, do_update)
-        st = st._replace(
-            obj_id=_cond_write(st.obj_id, slot_m, saved_id, do_update))
-        best_score = best_score.at[slot_m].set(
-            jnp.where(better, det.score[i], best_score[slot_m]))
-        return st, best_score, free, det_ids
-
-    free0 = _free_slots(cfg, state)
-    best0 = jnp.full((t,), -1.0)
-    ids0 = jnp.full((d,), -1, jnp.int32)
-    state, _, _, det_ids = jax.lax.fori_loop(
-        0, d, body, (state, best0, free0, ids0))
+    asn = resolve_assignment(cfg, match_ids, det.valid, det.score, state)
+    # track ids BEFORE the update (matched slots keep their id)
+    det_ids = jnp.where(asn.det_slot >= 0,
+                        state.obj_id[jnp.maximum(asn.det_slot, 0)], -1)
+    det_ids = jnp.where(asn.can_alloc,
+                        state.next_id + asn.new_rank, det_ids)
+    update_winners = asn.has_winner & ~overlap_many[asn.winner_src]
+    state = _apply_assignment(state, det, det_masks, asn, update_winners)
 
     keep = det.valid & (det_ids >= 0)
     out = FrameOutput(box=det.box, score=det.score, cls=det.cls,
