@@ -23,9 +23,12 @@ WARMUP = 5
 FRAMES = 50
 
 
+CHUNK = 10
+
+
 def main():
     from stmask_tpu.config import get_config
-    from stmask_tpu.inference import build_video_step, cast_params
+    from stmask_tpu.inference import build_video_scan, cast_params
     from stmask_tpu.models import STMask
 
     cfg = get_config('STMask_plus_resnet50')
@@ -36,27 +39,29 @@ def main():
     # production serving dtype: bf16 convs, fp32 decode/NMS/tracking
     params = cast_params(params, jnp.bfloat16)
 
-    video_step, make_state = build_video_step(cfg, model)
+    video_chunk, make_state = build_video_scan(cfg, model, CHUNK)
     state = make_state(feat_dtype=jnp.bfloat16)
 
-    frames = [jnp.asarray(np.random.RandomState(i)
-                          .randn(cfg.pad_h, cfg.pad_w, 3).astype(np.float32))
-              for i in range(8)]
+    frames = jnp.asarray(np.random.RandomState(0)
+                         .randn(CHUNK, cfg.pad_h, cfg.pad_w, 3)
+                         .astype(np.float32))
+    first = jnp.zeros((CHUNK,), bool).at[0].set(True)
+    not_first = jnp.zeros((CHUNK,), bool)
 
     # warmup / compile
     for i in range(WARMUP):
-        state, out = video_step(params, state, frames[i % len(frames)],
-                                jnp.asarray(i == 0))
+        state, out = video_chunk(params, state, frames,
+                                 first if i == 0 else not_first)
     jax.block_until_ready(out.box)
 
+    n_chunks = max(1, FRAMES // CHUNK)
     t0 = time.perf_counter()
-    for i in range(FRAMES):
-        state, out = video_step(params, state, frames[i % len(frames)],
-                                jnp.asarray(False))
+    for i in range(n_chunks):
+        state, out = video_chunk(params, state, frames, not_first)
     jax.block_until_ready(out.box)
     dt = time.perf_counter() - t0
 
-    fps = FRAMES / dt
+    fps = n_chunks * CHUNK / dt
     print(json.dumps({
         'metric': 'ytvis2019_stream_fps_per_chip_r50dcn_fca_tf_360x640',
         'value': round(fps, 2),

@@ -28,17 +28,9 @@ from .tracker import (FrameOutput, TrackState, init_state, track_step_simple,
                       track_step_tf)
 
 
-def build_video_step(cfg: STMaskConfig, model: STMask):
-    """Returns (video_step, make_init_state).
-
-    video_step(params, state, frame[H, W, 3], is_first) is jitted; frame is
-    the already normalized padded image.
-    """
-    priors = jnp.asarray(all_priors(cfg))
-
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def video_step(params, state: TrackState, frame: jax.Array,
-                   is_first: jax.Array) -> Tuple[TrackState, FrameOutput]:
+def _make_step_fn(cfg: STMaskConfig, model: STMask, priors: jax.Array):
+    def step_fn(params, state: TrackState, frame: jax.Array,
+                is_first: jax.Array) -> Tuple[TrackState, FrameOutput]:
         # compute in the parameter dtype (bf16 params -> bf16 convs)
         param_dtype = jax.tree_util.tree_leaves(params)[0].dtype
         preds = model.apply(params, frame[None].astype(param_dtype),
@@ -65,6 +57,19 @@ def build_video_step(cfg: STMaskConfig, model: STMask):
             state, out = track_step_simple(cfg, state, det, proto, is_first)
         return state, out
 
+    return step_fn
+
+
+def build_video_step(cfg: STMaskConfig, model: STMask):
+    """Returns (video_step, make_init_state).
+
+    video_step(params, state, frame[H, W, 3], is_first) is jitted; frame is
+    the already normalized padded image.
+    """
+    priors = jnp.asarray(all_priors(cfg))
+    step_fn = _make_step_fn(cfg, model, priors)
+    video_step = jax.jit(step_fn, donate_argnums=(1,))
+
     def make_init_state(feat_dtype=jnp.float32) -> TrackState:
         feat_shape = cfg.feature_shapes()[cfg.correlation_selected_layer]
         proto_shape = (cfg.pad_h // 4, cfg.pad_w // 4)
@@ -73,6 +78,41 @@ def build_video_step(cfg: STMaskConfig, model: STMask):
                           feat_dtype=feat_dtype)
 
     return video_step, make_init_state
+
+
+def build_video_scan(cfg: STMaskConfig, model: STMask, chunk_size: int = 8):
+    """Chunked streaming: ONE dispatch per ``chunk_size`` frames via
+    ``lax.scan`` — amortizes host dispatch and keeps the whole per-video
+    tracking recurrence on device (SURVEY §5.7's streaming-scan design).
+
+    ``is_first`` flags ride along per frame, so a chunk may span video
+    boundaries (the tracker state resets mid-scan).
+
+    Returns (video_chunk, make_init_state):
+      video_chunk(params, state, frames [K, H, W, 3], is_first [K])
+        -> (state, FrameOutput with leading K axis)
+    """
+    priors = jnp.asarray(all_priors(cfg))
+    step_fn = _make_step_fn(cfg, model, priors)
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def video_chunk(params, state: TrackState, frames: jax.Array,
+                    is_first: jax.Array):
+        def body(st, inp):
+            frame, first = inp
+            st, out = step_fn(params, st, frame, first)
+            return st, out
+
+        return jax.lax.scan(body, state, (frames, is_first))
+
+    def make_init_state(feat_dtype=jnp.float32) -> TrackState:
+        feat_shape = cfg.feature_shapes()[cfg.correlation_selected_layer]
+        proto_shape = (cfg.pad_h // 4, cfg.pad_w // 4)
+        return init_state(cfg, feat_shape, proto_shape,
+                          cfg.fpn.num_features, cfg.embed_dim,
+                          feat_dtype=feat_dtype)
+
+    return video_chunk, make_init_state
 
 
 def cast_params(params, dtype=jnp.bfloat16):

@@ -8,9 +8,34 @@ zeros, compressed with pycocotools' 5-bit varint + difference coding.
 
 from __future__ import annotations
 
-from typing import Dict, List
+import ctypes
+import os
+from typing import Dict, List, Optional
 
 import numpy as np
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    """Load the C++ codec (native/stmask_native.cpp) if built; the pure
+    NumPy path below is the behavioral reference and fallback."""
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    for cand in (os.path.join(here, 'native', 'libstmask_native.so'),
+                 os.path.join(os.path.dirname(__file__),
+                              'libstmask_native.so')):
+        if os.path.exists(cand):
+            try:
+                lib = ctypes.CDLL(cand)
+                lib.rle_encode_to_string.restype = ctypes.c_int
+                lib.rle_decode.restype = ctypes.c_int
+                lib.rle_string_to_counts.restype = ctypes.c_int
+                return lib
+            except OSError:
+                return None
+    return None
+
+
+_NATIVE = _load_native()
 
 
 def mask_to_counts(mask: np.ndarray) -> np.ndarray:
@@ -70,6 +95,19 @@ def string_to_counts(s: str) -> np.ndarray:
 def encode(mask: np.ndarray) -> Dict:
     """Binary [h, w] mask -> {'size': [h, w], 'counts': str}."""
     h, w = mask.shape
+    if _NATIVE is not None:
+        m = np.ascontiguousarray(mask, dtype=np.uint8)
+        max_counts = h * w + 2
+        scratch = np.empty(max_counts, np.int64)
+        out = ctypes.create_string_buffer(6 * max_counts)
+        n = _NATIVE.rle_encode_to_string(
+            m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+            out, len(out),
+            scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            max_counts)
+        if n >= 0:
+            return {'size': [int(h), int(w)],
+                    'counts': out.raw[:n].decode('ascii')}
     return {'size': [int(h), int(w)],
             'counts': counts_to_string(mask_to_counts(mask))}
 
@@ -84,6 +122,14 @@ def decode(rle: Dict) -> np.ndarray:
         cnts = string_to_counts(counts.decode())
     else:
         cnts = np.asarray(counts, dtype=np.int64)
+    if _NATIVE is not None:
+        mask = np.zeros((h, w), np.uint8)
+        cc = np.ascontiguousarray(cnts, dtype=np.int64)
+        ret = _NATIVE.rle_decode(
+            cc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(cc),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w)
+        if ret == 0:
+            return mask
     vals = np.zeros(int(cnts.sum()), dtype=np.uint8)
     pos = 0
     val = 0
