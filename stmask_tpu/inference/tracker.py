@@ -94,7 +94,8 @@ def candidate_shift(cfg: STMaskConfig, temporal_net_fn, state: TrackState,
     """
     h4, w4, _ = cur_fpn_feat.shape
     x_corr = correlate(state.fpn_feat[None], cur_fpn_feat[None],
-                       patch_size=cfg.correlation_patch_size)[0]
+                       patch_size=cfg.correlation_patch_size,
+                       use_pallas='auto')[0]
     concat = jax.nn.relu(jnp.concatenate(
         [x_corr, state.t2s_feat, cur_t2s_feat], axis=-1))
 

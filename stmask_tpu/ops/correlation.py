@@ -20,14 +20,23 @@ import jax.numpy as jnp
 
 
 def correlate(x1: jax.Array, x2: jax.Array, patch_size: int = 11,
-              apply_activation: bool = True) -> jax.Array:
+              apply_activation: bool = True,
+              use_pallas: bool | str = False) -> jax.Array:
     """Local correlation of two NHWC feature maps.
 
     Args:
       x1, x2: [B, H, W, C].
+      use_pallas: True / 'auto' routes to the fused Pallas TPU kernel
+        (inference path only — the XLA formulation below is the
+        differentiable reference used in training).
     Returns:
       [B, H, W, patch_size**2] cost volume (leaky-relu'd, /C normalized).
     """
+    if use_pallas == 'auto':
+        use_pallas = jax.default_backend() == 'tpu'
+    if use_pallas:
+        from ..kernels.correlation_pallas import correlate_pallas
+        return correlate_pallas(x1, x2, patch_size, apply_activation)
     b, h, w, c = x1.shape
     r = (patch_size - 1) // 2
     x2p = jnp.pad(x2, ((0, 0), (r, r), (r, r), (0, 0)))

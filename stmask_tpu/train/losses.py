@@ -116,6 +116,72 @@ def ohem_conf_loss(cfg: STMaskConfig, preds: Dict,
     return cfg.conf_alpha * total / f
 
 
+def focal_conf_sigmoid_loss(cfg: STMaskConfig, preds: Dict,
+                            t: MatchedTargets) -> jax.Array:
+    """Sigmoid focal loss alternative (multibox_loss.py:479-511): per-class
+    one-vs-all with alpha weighting; background-class alpha zeroed; neutral
+    anchors excluded."""
+    f, p, ncls = preds['conf'].shape
+    conf = preds['conf'].reshape(-1, ncls)
+    conf_t = t.conf_t.reshape(-1)
+    keep = (conf_t >= 0).astype(jnp.float32)
+    tgt = jnp.maximum(conf_t, 0)
+
+    one_hot = jax.nn.one_hot(tgt, ncls)
+    pm = one_hot * 2.0 - 1.0
+    logpt = jax.nn.log_sigmoid(conf * pm)
+    pt = jnp.exp(logpt)
+    at = cfg.focal_loss_alpha * one_hot \
+        + (1 - cfg.focal_loss_alpha) * (1 - one_hot)
+    at = at.at[:, 0].set(0.0)
+    loss = -at * (1 - pt) ** cfg.focal_loss_gamma * logpt
+    loss = keep * jnp.sum(loss, axis=-1)
+    denom = jnp.maximum(jnp.sum(keep), 1.0)
+    return cfg.conf_alpha * jnp.sum(loss) / denom
+
+
+def coeff_diversity_loss(cfg: STMaskConfig, preds: Dict,
+                         t: MatchedTargets,
+                         alpha: float = 5.0) -> jax.Array:
+    """Contrastive diversity over mask coefficients within a clip
+    (multibox_loss.py:519-542): same-instance coefficients pulled together,
+    different pushed apart."""
+    cap = cfg.masks_to_train
+
+    def gather(pos, pos_w, ids, coeff):
+        idx, valid = _top_pos_indices(pos, cap)
+        return coeff[idx], ids[idx], pos_w[idx] * valid
+
+    co, ids, w = jax.vmap(gather)(t.pos, t.pos_w, t.ids_t,
+                                  preds['mask_coeff'])
+    co = co.reshape(-1, co.shape[-1])
+    ids = ids.reshape(-1)
+    w = w.reshape(-1)
+    norm = co / jnp.maximum(jnp.linalg.norm(co, axis=-1, keepdims=True),
+                            1e-12)
+    cos = (norm @ norm.T + 1.0) / 2.0
+    inst_eq = ((ids[:, None] == ids[None, :]) & (ids[:, None] > 0)) \
+        .astype(jnp.float32)
+    loss = -(jnp.log(jnp.clip(cos, EPS)) * inst_eq
+             + jnp.log(jnp.clip(1.0 - cos, EPS)) * (1.0 - inst_eq))
+    lw = w[:, None] * w[None, :]
+    return alpha * jnp.sum(loss * lw)
+
+
+def class_existence_loss(cfg: STMaskConfig, class_logits: jax.Array,
+                         gt_labels: jax.Array, gt_valid: jax.Array,
+                         alpha: float = 1.0) -> jax.Array:
+    """Multitask image-level class-existence BCE (multibox_loss use of
+    'classes'; reference STMask.py:300-301)."""
+    f, ncls = class_logits.shape
+    onehot = jax.nn.one_hot(gt_labels - 1, ncls) * \
+        gt_valid[..., None].astype(jnp.float32)
+    target = jnp.minimum(jnp.sum(onehot, axis=1), 1.0)      # [F, C-1]
+    loss = jnp.maximum(class_logits, 0) - class_logits * target \
+        + jnp.log1p(jnp.exp(-jnp.abs(class_logits)))
+    return alpha * jnp.sum(loss) / f
+
+
 def centerness_loss(cfg: STMaskConfig, priors: jax.Array, preds: Dict,
                     t: MatchedTargets) -> jax.Array:
     """Centerness target = DIoU of the decoded box vs its gt
@@ -319,7 +385,10 @@ def compute_losses(cfg: STMaskConfig, preds: Dict, gt: Dict,
         key = 'BIoU' if cfg.use_boxiou_loss else 'B'
         losses[key] = box_loss(cfg, priors, preds, t)
     if cfg.train_class:
-        losses['C'] = ohem_conf_loss(cfg, preds, t)
+        if cfg.use_sigmoid_focal_loss:
+            losses['C'] = focal_conf_sigmoid_loss(cfg, preds, t)
+        else:
+            losses['C'] = ohem_conf_loss(cfg, preds, t)
     if cfg.train_centerness:
         losses['center'] = centerness_loss(cfg, priors, preds, t)
     if cfg.train_masks:
