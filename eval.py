@@ -37,6 +37,9 @@ def parse_args(argv=None):
     p.add_argument('--score_threshold', type=float, default=0.0)
     p.add_argument('--video_dir', default=None,
                    help='directory of frames for a single video')
+    p.add_argument('--display', action='store_true',
+                   help='write detection overlays to --display_dir')
+    p.add_argument('--display_dir', default='results/display')
     return p.parse_args(argv)
 
 
@@ -70,6 +73,31 @@ def load_model(args):
             params = ocp.StandardCheckpointer().restore(
                 os.path.abspath(args.trained_model), params)
     return cfg, model, params
+
+
+def _write_display(args, cfg, pre, out, vid, f):
+    """Render one frame's tracked detections to PNG (for --display and the
+    web viewer)."""
+    import cv2
+    import numpy as np
+    from stmask_tpu.utils.visualization import (draw_detections,
+                                                undo_image_transformation)
+    os.makedirs(args.display_dir, exist_ok=True)
+    keep = np.asarray(out.keep)
+    img_h, img_w = pre['img_shape']
+    img = undo_image_transformation(np.asarray(pre['image']), img_h, img_w)
+    idx = np.nonzero(keep)[0]
+    pad_h, pad_w = pre['pad_shape']
+    boxes = np.asarray(out.box)[idx] * [pad_w, pad_h, pad_w, pad_h]
+    masks = np.asarray(out.mask)[idx]
+    masks_up = np.stack([
+        cv2.resize(m.astype(np.float32), (img_w, img_h)) > 0.5
+        for m in masks]) if len(idx) else None
+    over = draw_detections(img, boxes, np.asarray(out.cls)[idx],
+                           np.asarray(out.score)[idx], masks_up,
+                           np.asarray(out.obj_id)[idx], cfg.classes)
+    cv2.imwrite(os.path.join(args.display_dir, f'{vid:05d}_{f:04d}.png'),
+                cv2.cvtColor(over, cv2.COLOR_RGB2BGR))
 
 
 def evaluate_dataset(args, cfg, model, params):
@@ -114,6 +142,8 @@ def evaluate_dataset(args, cfg, model, params):
                         'pad_shape': pre['pad_shape']}
                 results.append(postprocess_frame(
                     cfg, out, meta, score_threshold=args.score_threshold))
+            if args.display:
+                _write_display(args, cfg, pre, out, vid, f)
             n_frames += 1
             if args.benchmark and n_frames == 5:
                 t_start = time.perf_counter()   # exclude warmup

@@ -91,6 +91,30 @@ def preprocess_frame(cfg: STMaskConfig, img_rgb: np.ndarray,
     return out
 
 
+def fast_base_transform(cfg: STMaskConfig):
+    """Device-side resize + normalize + pad (the production input path —
+    reference ``utils/augmentations.py:619`` FastBaseTransform runs the same
+    on GPU).  Returns a jittable fn: uint8 RGB [H0, W0, 3] -> normalized
+    padded float32 [pad_h, pad_w, 3].  Ships only ~0.7MB of uint8 per
+    360x640 frame over PCIe instead of 2.9MB of float32.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    mean = jnp.asarray(MEANS, jnp.float32)
+    std = jnp.asarray(STD, jnp.float32)
+    ih, iw, ph, pw = cfg.img_h, cfg.img_w, cfg.pad_h, cfg.pad_w
+
+    @jax.jit
+    def transform(img_u8: 'jax.Array') -> 'jax.Array':
+        x = img_u8.astype(jnp.float32)
+        x = jax.image.resize(x, (ih, iw, 3), method='bilinear')
+        x = (x - mean) / std
+        return jnp.pad(x, ((0, ph - ih), (0, pw - iw), (0, 0)))
+
+    return transform
+
+
 def pad_gt(cfg: STMaskConfig, frame: Dict) -> Dict:
     """Pad per-frame targets to ``max_gt_per_frame`` static capacity."""
     g = cfg.max_gt_per_frame

@@ -82,6 +82,21 @@ class MovingAverage:
         return len(self.window)
 
 
+class ProgressBar:
+    """Console progress bar (reference utils/functions.py:48-84)."""
+
+    def __init__(self, length: int = 30, max_val: int = 100):
+        self.length = length
+        self.max_val = max(max_val, 1)
+
+    def get_bar(self, val: int) -> str:
+        fill = int(self.length * min(val, self.max_val) / self.max_val)
+        return '█' * fill + '░' * (self.length - fill)
+
+    def set_val(self, val: int) -> str:
+        return self.get_bar(val)
+
+
 class StageTimer:
     """Host-side named-stage wall timer for the benchmark table (reference
     ``utils/timer.py``).  Under jit, XLA fuses stages, so the per-stage table
