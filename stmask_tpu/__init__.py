@@ -8,4 +8,18 @@ kernels, mesh-sharded training, and a streaming per-video tracking scan.
 
 __version__ = '0.1.0'
 
+import os as _os
+
+# Persistent XLA compilation cache: first compiles of the full model are
+# minutes; every later process reuses them.
+try:
+    import jax as _jax
+    if not _jax.config.jax_compilation_cache_dir:
+        _cache = _os.path.expanduser('~/.cache/jax_stmask')
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update('jax_compilation_cache_dir', _cache)
+        _jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+except Exception:  # pragma: no cover
+    pass
+
 from .config import REGISTRY, STMaskConfig, get_config  # noqa: F401

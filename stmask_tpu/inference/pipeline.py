@@ -80,6 +80,74 @@ def build_video_step(cfg: STMaskConfig, model: STMask):
     return video_step, make_init_state
 
 
+def build_video_step_batched(cfg: STMaskConfig, model: STMask,
+                             n_videos: int, chunk_size: int = 4):
+    """Step ``n_videos`` independent video streams in lockstep.
+
+    Tracking is sequential *within* a video (reference ``track_TF.py:43``
+    supports only batch 1), but across videos it is embarrassingly
+    parallel: the natural TPU serving/eval layout batches B per-video
+    tracker states through one compiled step, amortizing kernel launches
+    and filling the MXU (the per-frame program is launch-bound at B=1).
+    Combined with a ``chunk_size``-frame ``lax.scan``.
+
+    Returns (video_chunk, make_init_states):
+      video_chunk(params, states, frames [K, B, H, W, 3], is_first [K, B])
+        -> (states, FrameOutput with leading [K, B])
+      where ``states`` is a TrackState pytree with a leading [B] axis.
+    """
+    priors = jnp.asarray(all_priors(cfg))
+
+    def batched_step(params, states, frames, is_first):
+        param_dtype = jax.tree_util.tree_leaves(params)[0].dtype
+        preds = model.apply(params, frames.astype(param_dtype),
+                            train=False)
+
+        def det_one(loc, conf, coeff, track, cent):
+            return detect_frame(cfg, {'loc': loc, 'conf': conf,
+                                      'mask_coeff': coeff, 'track': track,
+                                      'centerness': cent}, priors)
+
+        dets = jax.vmap(det_one)(preds['loc'], preds['conf'],
+                                 preds['mask_coeff'], preds['track'],
+                                 preds['centerness'])
+
+        def temporal_net_fn(x):
+            return model.apply(params, x, method=STMask.temporal_shift)
+
+        def track_one(state, det, proto, fpn_feat, t2s_feat, first):
+            return track_step_tf(cfg, temporal_net_fn, state, det, proto,
+                                 fpn_feat, t2s_feat, first)
+
+        if cfg.temporal_fusion_module:
+            return jax.vmap(track_one)(states, dets, preds['proto'],
+                                       preds['fpn_feat'],
+                                       preds['T2S_feat'], is_first)
+        return jax.vmap(lambda s, d, p, f: track_step_simple(cfg, s, d, p,
+                                                             f))(
+            states, dets, preds['proto'], is_first)
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def video_chunk(params, states, frames, is_first):
+        def body(sts, inp):
+            fr, first = inp
+            return batched_step(params, sts, fr, first)
+
+        return jax.lax.scan(body, states, (frames, is_first))
+
+    def make_init_states(feat_dtype=jnp.float32):
+        feat_shape = cfg.feature_shapes()[cfg.correlation_selected_layer]
+        proto_shape = (cfg.pad_h // 4, cfg.pad_w // 4)
+        one = init_state(cfg, feat_shape, proto_shape,
+                         cfg.fpn.num_features, cfg.embed_dim,
+                         feat_dtype=feat_dtype)
+        return jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (n_videos,) + x.shape).copy(),
+            one)
+
+    return video_chunk, make_init_states
+
+
 def build_video_scan(cfg: STMaskConfig, model: STMask, chunk_size: int = 8):
     """Chunked streaming: ONE dispatch per ``chunk_size`` frames via
     ``lax.scan`` — amortizes host dispatch and keeps the whole per-video
