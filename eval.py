@@ -40,6 +40,14 @@ def parse_args(argv=None):
     p.add_argument('--display', action='store_true',
                    help='write detection overlays to --display_dir')
     p.add_argument('--display_dir', default='results/display')
+    p.add_argument('--batch_videos', type=int, default=8,
+                   help='video streams stepped in lockstep (throughput)')
+    p.add_argument('--chunk_frames', type=int, default=4,
+                   help='frames per device dispatch')
+    p.add_argument('--sequential', action='store_true',
+                   help='one-video-at-a-time eval (debug / latency mode)')
+    p.add_argument('--bf16', action='store_true', default=True)
+    p.add_argument('--fp32', dest='bf16', action='store_false')
     return p.parse_args(argv)
 
 
@@ -98,6 +106,109 @@ def _write_display(args, cfg, pre, out, vid, f):
                            np.asarray(out.obj_id)[idx], cfg.classes)
     cv2.imwrite(os.path.join(args.display_dir, f'{vid:05d}_{f:04d}.png'),
                 cv2.cvtColor(over, cv2.COLOR_RGB2BGR))
+
+
+def evaluate_dataset_batched(args, cfg, model, params):
+    """Throughput eval: B lockstep video streams x K-frame chunks.
+
+    Results are identical to sequential eval (tracking state is per-lane);
+    a lane picks up the next video as soon as its current one ends, with
+    ``is_first`` resetting the tracker mid-chunk.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
+    from stmask_tpu.data import YTVISDataset, load_image_rgb
+    from stmask_tpu.data.transforms import preprocess_frame
+    from stmask_tpu.inference import (build_video_step_batched, cast_params,
+                                      postprocess_frame,
+                                      results2json_videoseg)
+
+    b = args.batch_videos
+    k = args.chunk_frames
+    dataset = YTVISDataset(args.ann_file, args.img_prefix,
+                           has_annotations=args.eval_metrics)
+    if args.bf16:
+        params = cast_params(params, jnp.bfloat16)
+    video_chunk, make_states = build_video_step_batched(cfg, model, b, k)
+    states = make_states(
+        feat_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+
+    vids = dataset.video_ids()
+    vids = vids[jax.process_index()::jax.process_count()]
+    if args.max_videos > 0:
+        vids = vids[:args.max_videos]
+    queue = list(vids)
+    lanes = [None] * b          # (vid, next_frame, n_frames) or None
+    pool = ThreadPoolExecutor(16)
+
+    def next_chunk():
+        """Assemble [K, B] frames + flags + metas; None meta = inactive."""
+        frames = np.zeros((k, b, cfg.pad_h, cfg.pad_w, 3), np.float32)
+        first = np.zeros((k, b), bool)
+        metas = [[None] * b for _ in range(k)]
+        jobs = {}
+        any_active = False
+        for step in range(k):
+            for lane in range(b):
+                if lanes[lane] is None or lanes[lane][1] >= lanes[lane][2]:
+                    if queue:
+                        vid = queue.pop(0)
+                        lanes[lane] = [vid, 0, dataset.num_frames(vid)]
+                    else:
+                        lanes[lane] = None
+                        continue
+                vid, f, nf = lanes[lane]
+                jobs[(step, lane)] = pool.submit(
+                    load_image_rgb, dataset.frame_path(vid, f))
+                first[step, lane] = f == 0
+                metas[step][lane] = {'video_id': vid, 'frame_id': f}
+                lanes[lane][1] += 1
+                any_active = True
+        for (step, lane), fut in jobs.items():
+            pre = preprocess_frame(cfg, fut.result())
+            frames[step, lane] = pre['image']
+            metas[step][lane].update(img_shape=pre['img_shape'],
+                                     pad_shape=pre['pad_shape'])
+        return (frames, first, metas) if any_active else None
+
+    t0 = time.perf_counter()
+    n_frames = 0
+    per_frame = []
+    chunk = next_chunk()
+    while chunk is not None:
+        frames, first, metas = chunk
+        states, outs = video_chunk(params, states, jnp.asarray(frames),
+                                   jnp.asarray(first))
+        nxt = next_chunk()            # overlap host IO with device compute
+        outs = jax.tree_util.tree_map(np.asarray, outs)
+        for step in range(k):
+            for lane in range(b):
+                meta = metas[step][lane]
+                if meta is None:
+                    continue
+                fo = jax.tree_util.tree_map(
+                    lambda x: x[step, lane], outs)
+                per_frame.append(postprocess_frame(
+                    cfg, fo, meta, score_threshold=args.score_threshold))
+                n_frames += 1
+        chunk = nxt
+
+    dt = time.perf_counter() - t0
+    print(f'{n_frames} frames in {dt:.1f}s = {n_frames / dt:.1f} FPS/chip')
+
+    # group by video for the JSON writer (it expects video-contiguous order)
+    per_frame.sort(key=lambda r: (r['video_id'], r['frame_id']))
+    json_results = results2json_videoseg(per_frame, args.mask_det_file)
+    print(f'wrote {len(json_results)} tracks to {args.mask_det_file}')
+    if args.eval_metrics:
+        from stmask_tpu.utils.ytvis_eval import evaluate_ytvis
+        with open(args.ann_file) as fh:
+            gt = json.load(fh)
+        stats = evaluate_ytvis(gt, json_results)
+        print(json.dumps(stats, indent=2))
+        return stats
 
 
 def evaluate_dataset(args, cfg, model, params):
@@ -185,7 +296,10 @@ def main(argv=None):
         return 2
 
     cfg, model, params = load_model(args)
-    evaluate_dataset(args, cfg, model, params)
+    if args.sequential or args.benchmark or args.display:
+        evaluate_dataset(args, cfg, model, params)
+    else:
+        evaluate_dataset_batched(args, cfg, model, params)
     return 0
 
 
