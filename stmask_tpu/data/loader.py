@@ -98,6 +98,7 @@ class ClipLoader:
                     zip(chunk, seeds)))
                 batch = {k: np.stack([c[k] for c in clips])
                          for k in clips[0]}
+                batch['images'] = batch.pop('image')
                 # globally-unique instance ids within the batch: offset by
                 # clip index so the cross-clip contrastive loss never
                 # collides ids from different videos
