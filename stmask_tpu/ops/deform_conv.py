@@ -24,7 +24,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .sampling import bilinear_sample
+from .sampling import bilinear_sample_block
 
 
 def deform_conv2d(x: jax.Array,
@@ -69,7 +69,7 @@ def deform_conv2d(x: jax.Array,
     xs = base_x[None] + off[..., 1]
 
     def sample_one(img, ys_i, xs_i, mask_i):
-        vals = bilinear_sample(img, ys_i, xs_i)                  # [Ho,Wo,K,C]
+        vals = bilinear_sample_block(img, ys_i, xs_i)            # [Ho,Wo,K,C]
         if mask_i is not None:
             vals = vals * mask_i[..., None]
         return vals

@@ -43,3 +43,42 @@ def bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
            + corner(y0i + 1, x0i, wy1 * wx0)
            + corner(y0i + 1, x0i + 1, wy1 * wx1))
     return out
+
+
+def bilinear_sample_block(img: jax.Array, ys: jax.Array,
+                          xs: jax.Array) -> jax.Array:
+    """Same contract as :func:`bilinear_sample`, one gather instead of four.
+
+    Fetches the 2x2 corner neighborhood per sample as a single
+    ``lax.gather`` with slice_sizes (2, 2, C) — 4x fewer random HBM
+    accesses, each twice as long (the profiled bottleneck of the XLA
+    deformable conv).  Border clamping + distance weights
+    ``max(0, 1 - |p - fetched_row|)`` reproduce zero-padding semantics
+    exactly: clamped fetches get zero weight.
+    """
+    h, w, c = img.shape
+    out_shape = ys.shape
+    ys_f = ys.reshape(-1)
+    xs_f = xs.reshape(-1)
+    n = ys_f.shape[0]
+
+    y0 = jnp.clip(jnp.floor(ys_f), 0, max(h - 2, 0)).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xs_f), 0, max(w - 2, 0)).astype(jnp.int32)
+    starts = jnp.stack([y0, x0], axis=-1)                    # [N, 2]
+
+    blocks = jax.lax.gather(
+        img, starts,
+        dimension_numbers=jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+            start_index_map=(0, 1)),
+        slice_sizes=(2, 2, c),
+        mode=jax.lax.GatherScatterMode.CLIP)                 # [N, 2, 2, C]
+
+    f32 = jnp.float32
+    yy = y0[:, None].astype(f32) + jnp.asarray([0.0, 1.0])[None, :]  # [N, 2]
+    xx = x0[:, None].astype(f32) + jnp.asarray([0.0, 1.0])[None, :]
+    wy = jnp.clip(1.0 - jnp.abs(ys_f[:, None].astype(f32) - yy), 0, 1)
+    wx = jnp.clip(1.0 - jnp.abs(xs_f[:, None].astype(f32) - xx), 0, 1)
+    wgt = (wy[:, :, None] * wx[:, None, :]).astype(img.dtype)  # [N, 2, 2]
+    out = jnp.sum(blocks * wgt[..., None], axis=(1, 2))        # [N, C]
+    return out.reshape(out_shape + (c,))

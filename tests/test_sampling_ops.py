@@ -2,7 +2,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from stmask_tpu.ops.sampling import bilinear_sample
+from stmask_tpu.ops.sampling import bilinear_sample, bilinear_sample_block
 from stmask_tpu.ops.deform_conv import deform_conv2d, dcn_v2_offsets
 from stmask_tpu.ops.correlation import correlate
 from stmask_tpu.ops.roi_align import roi_align
@@ -32,6 +32,24 @@ def test_bilinear_sample_out_of_bounds_zero():
     out = np.asarray(bilinear_sample(img, jnp.asarray([-2.0, 10.0]),
                                      jnp.asarray([1.0, 1.0])))
     np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+
+def test_bilinear_sample_block_matches_reference():
+    # the single-gather block formulation must match the 4-corner one
+    # everywhere, including borders and far out-of-bounds
+    rng = np.random.RandomState(9)
+    img = jnp.asarray(rng.randn(7, 9, 4).astype(np.float32))
+    ys = jnp.asarray(rng.uniform(-3, 10, (5, 6)).astype(np.float32))
+    xs = jnp.asarray(rng.uniform(-3, 12, (5, 6)).astype(np.float32))
+    ref = np.asarray(bilinear_sample(img, ys, xs))
+    got = np.asarray(bilinear_sample_block(img, ys, xs))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    # exact integer positions
+    ys2 = jnp.asarray([[0.0, 6.0], [3.0, 5.0]])
+    xs2 = jnp.asarray([[0.0, 8.0], [4.0, 2.0]])
+    ref2 = np.asarray(bilinear_sample(img, ys2, xs2))
+    got2 = np.asarray(bilinear_sample_block(img, ys2, xs2))
+    np.testing.assert_allclose(got2, ref2, atol=1e-6)
 
 
 def _np_conv2d_same(x, w, stride=1):
