@@ -23,8 +23,8 @@ WARMUP = 5
 FRAMES = 50
 
 
-CHUNK = 4       # frames per dispatch (lax.scan)
-N_VIDEOS = 8    # independent video streams stepped in lockstep
+CHUNK = 10      # frames per dispatch (lax.scan)
+N_VIDEOS = 1    # independent video streams stepped in lockstep
 
 
 def main():
