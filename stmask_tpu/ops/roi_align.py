@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .sampling import bilinear_sample
+from .sampling import bilinear_sample_block
 
 
 def roi_align(features: jax.Array, boxes: jax.Array, pool_size: int = 7,
@@ -47,7 +47,7 @@ def roi_align(features: jax.Array, boxes: jax.Array, pool_size: int = 7,
         xs = xs.reshape(-1)
         grid_y = jnp.broadcast_to(ys[:, None], (pool_size * s, pool_size * s))
         grid_x = jnp.broadcast_to(xs[None, :], (pool_size * s, pool_size * s))
-        vals = bilinear_sample(features, grid_y, grid_x)      # [P*s, P*s, C]
+        vals = bilinear_sample_block(features, grid_y, grid_x)  # [P*s,P*s,C]
         c = vals.shape[-1]
         vals = vals.reshape(pool_size, s, pool_size, s, c)
         return jnp.mean(vals, axis=(1, 3))                    # [P, P, C]

@@ -32,6 +32,9 @@ def parse_args(argv=None):
     p.add_argument('--save_interval', type=int, default=10000)
     p.add_argument('--keep_latest', type=int, default=0)
     p.add_argument('--validation_epoch', type=int, default=2)
+    p.add_argument('--valid_ann_file', default=None)
+    p.add_argument('--valid_img_prefix', default=None)
+    p.add_argument('--valid_max_videos', type=int, default=20)
     p.add_argument('--num_workers', type=int, default=8)
     p.add_argument('--max_iter', type=int, default=None)
     p.add_argument('--lr', type=float, default=None)
@@ -148,6 +151,25 @@ def main(argv=None):
                     ckpt.save(state, epoch, iteration)
             if iteration >= cfg.max_iter:
                 break
+
+            # in-train validation mAP on the valid_sub split
+            # (reference train.py:366-378 -> eval.validation)
+            if (args.valid_ann_file and args.validation_epoch > 0
+                    and (epoch + 1) % args.validation_epoch == 0):
+                import eval as eval_script
+                eval_args = eval_script.parse_args([
+                    '--ann_file', args.valid_ann_file,
+                    '--img_prefix',
+                    args.valid_img_prefix or args.img_prefix,
+                    '--eval_metrics',
+                    '--max_videos', str(args.valid_max_videos),
+                    '--mask_det_file',
+                    os.path.join(args.save_folder, 'valid_results.json')])
+                stats = eval_script.evaluate_dataset_batched(
+                    eval_args, cfg, model, state.params)
+                if stats:
+                    log.log('validation', data=stats, epoch=epoch,
+                            iter=iteration)
 
     ckpt.save(state, num_epochs, iteration)
     return 0
