@@ -281,6 +281,43 @@ def evaluate_dataset(args, cfg, model, params):
         return stats
 
 
+def evaluate_video_dir(args, cfg, model, params):
+    """Single-video mode: a directory of frames -> overlays + JSON
+    (reference evaluate_single / evalimages, eval.py:703-755)."""
+    import glob as globmod
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from stmask_tpu.data import load_image_rgb
+    from stmask_tpu.data.transforms import preprocess_frame
+    from stmask_tpu.inference import (build_video_step, postprocess_frame,
+                                      results2json_videoseg)
+
+    frames = sorted(sum((globmod.glob(os.path.join(args.video_dir, ext))
+                         for ext in ('*.jpg', '*.jpeg', '*.png')), []))
+    if not frames:
+        print('no frames found in', args.video_dir)
+        return
+    video_step, make_state = build_video_step(cfg, model)
+    state = make_state()
+    results = []
+    for f, path in enumerate(frames):
+        img = load_image_rgb(path)
+        pre = preprocess_frame(cfg, img)
+        state, out = video_step(params, state, jnp.asarray(pre['image']),
+                                jnp.asarray(f == 0))
+        out = jax.tree_util.tree_map(np.asarray, out)
+        meta = {'video_id': 0, 'frame_id': f,
+                'img_shape': pre['img_shape'],
+                'pad_shape': pre['pad_shape']}
+        results.append(postprocess_frame(cfg, out, meta,
+                                         args.score_threshold))
+        if args.display:
+            _write_display(args, cfg, pre, out, 0, f)
+    results2json_videoseg(results, args.mask_det_file)
+    print(f'processed {len(frames)} frames -> {args.mask_det_file}')
+
+
 def main(argv=None):
     args = parse_args(argv)
 
@@ -288,6 +325,11 @@ def main(argv=None):
         from stmask_tpu.utils.ytvis_eval import evaluate_ytvis
         stats = evaluate_ytvis(args.ann_file, args.mask_det_file)
         print(json.dumps(stats, indent=2))
+        return 0
+
+    if args.video_dir is not None:
+        cfg, model, params = load_model(args)
+        evaluate_video_dir(args, cfg, model, params)
         return 0
 
     if args.ann_file is None:
