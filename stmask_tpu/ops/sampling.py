@@ -62,8 +62,9 @@ def bilinear_sample_block(img: jax.Array, ys: jax.Array,
     xs_f = xs.reshape(-1)
     n = ys_f.shape[0]
 
-    y0 = jnp.clip(jnp.floor(ys_f), 0, max(h - 2, 0)).astype(jnp.int32)
-    x0 = jnp.clip(jnp.floor(xs_f), 0, max(w - 2, 0)).astype(jnp.int32)
+    sh, sw = min(2, h), min(2, w)      # degenerate 1-pixel dims supported
+    y0 = jnp.clip(jnp.floor(ys_f), 0, max(h - sh, 0)).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xs_f), 0, max(w - sw, 0)).astype(jnp.int32)
     starts = jnp.stack([y0, x0], axis=-1)                    # [N, 2]
 
     blocks = jax.lax.gather(
@@ -71,12 +72,12 @@ def bilinear_sample_block(img: jax.Array, ys: jax.Array,
         dimension_numbers=jax.lax.GatherDimensionNumbers(
             offset_dims=(1, 2, 3), collapsed_slice_dims=(),
             start_index_map=(0, 1)),
-        slice_sizes=(2, 2, c),
-        mode=jax.lax.GatherScatterMode.CLIP)                 # [N, 2, 2, C]
+        slice_sizes=(sh, sw, c),
+        mode=jax.lax.GatherScatterMode.CLIP)                 # [N, sh, sw, C]
 
     f32 = jnp.float32
-    yy = y0[:, None].astype(f32) + jnp.asarray([0.0, 1.0])[None, :]  # [N, 2]
-    xx = x0[:, None].astype(f32) + jnp.asarray([0.0, 1.0])[None, :]
+    yy = y0[:, None].astype(f32) + jnp.arange(sh, dtype=f32)[None, :]
+    xx = x0[:, None].astype(f32) + jnp.arange(sw, dtype=f32)[None, :]
     wy = jnp.clip(1.0 - jnp.abs(ys_f[:, None].astype(f32) - yy), 0, 1)
     wx = jnp.clip(1.0 - jnp.abs(xs_f[:, None].astype(f32) - xx), 0, 1)
     wgt = (wy[:, :, None] * wx[:, None, :]).astype(img.dtype)  # [N, 2, 2]
