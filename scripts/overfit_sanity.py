@@ -1,0 +1,143 @@
+"""End-to-end sanity: overfit on synthetic videos, then eval mAP.
+
+Generates a tiny synthetic YTVIS dataset (solid colored rectangles moving
+over noise), trains the full STMask_plus_resnet50 for a few hundred steps,
+runs the streaming eval pipeline, and scores with the YTVIS evaluator.
+A healthy pipeline overfits to high mAP; this exercises matcher, losses,
+optimizer, NMS, tracking, postprocess, and the evaluator in one loop.
+
+Usage: python scripts/overfit_sanity.py [--steps 400] [--out /tmp/overfit]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def make_dataset(root, n_videos=4, n_frames=8, h=360, w=640, seed=0):
+    import cv2
+    from stmask_tpu.utils import rle
+
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(root, 'imgs')
+    os.makedirs(img_dir, exist_ok=True)
+    videos, annotations = [], []
+    aid = 1
+    colors = [(230, 60, 40), (40, 90, 230)]
+    for vid in range(1, n_videos + 1):
+        names = []
+        objs = []
+        for obj in range(2):
+            x0 = rng.randint(30, w - 200)
+            y0 = rng.randint(30, h - 160)
+            vx, vy = rng.randint(-8, 9), rng.randint(-5, 6)
+            size = rng.randint(70, 120)
+            objs.append([x0, y0, vx, vy, size])
+        frames_ann = [[] for _ in range(2)]
+        vdir = os.path.join(img_dir, f'v{vid:02d}')
+        os.makedirs(vdir, exist_ok=True)
+        for f in range(n_frames):
+            img = rng.randint(0, 80, (h, w, 3), np.uint8)
+            for obj, (x0, y0, vx, vy, size) in enumerate(objs):
+                x = int(np.clip(x0 + vx * f, 0, w - size - 1))
+                y = int(np.clip(y0 + vy * f, 0, h - int(0.8 * size) - 1))
+                hh = int(0.8 * size)
+                img[y:y + hh, x:x + size] = colors[obj]
+                m = np.zeros((h, w), np.uint8)
+                m[y:y + hh, x:x + size] = 1
+                frames_ann[obj].append((rle.encode(m),
+                                        [x, y, size, hh]))
+            name = f'v{vid:02d}/f{f:02d}.jpg'
+            cv2.imwrite(os.path.join(img_dir, name),
+                        cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+            names.append(name)
+        videos.append({'id': vid, 'file_names': names, 'height': h,
+                       'width': w})
+        for obj in range(2):
+            annotations.append({
+                'id': aid, 'video_id': vid, 'category_id': obj + 1,
+                'segmentations': [s for s, _ in frames_ann[obj]],
+                'bboxes': [b for _, b in frames_ann[obj]],
+            })
+            aid += 1
+    ann = {'videos': videos, 'annotations': annotations,
+           'categories': [{'id': 1, 'name': 'red_box'},
+                          {'id': 2, 'name': 'blue_box'}]}
+    ann_file = os.path.join(root, 'train.json')
+    with open(ann_file, 'w') as fjson:
+        json.dump(ann, fjson)
+    return ann_file, img_dir
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--steps', type=int, default=400)
+    p.add_argument('--batch_size', type=int, default=4)
+    p.add_argument('--lr', type=float, default=2e-3)
+    p.add_argument('--out', default='/tmp/overfit_sanity')
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from stmask_tpu.config import get_config
+    from stmask_tpu.data import ClipLoader, YTVISDataset
+    from stmask_tpu.models import STMask
+    from stmask_tpu.train import build_train_step
+
+    os.makedirs(args.out, exist_ok=True)
+    ann_file, img_prefix = make_dataset(args.out)
+
+    cfg = get_config('STMask_plus_resnet50').replace(
+        lr=args.lr, lr_warmup_until=100, lr_steps=(10 ** 9,),
+        max_iter=args.steps)
+    dataset = YTVISDataset(ann_file, img_prefix)
+    loader = ClipLoader(cfg, dataset, args.batch_size, num_workers=8)
+
+    model = STMask(cfg)
+    x0 = jnp.zeros((1, 2, cfg.pad_h, cfg.pad_w, 3))
+    params = model.init(jax.random.PRNGKey(0), x0, train=True)
+    train_step, init_state = build_train_step(cfg, model)
+    state = init_state(params)
+
+    it = 0
+    t0 = time.perf_counter()
+    first_loss = None
+    while it < args.steps:
+        for batch in loader.epoch(it):
+            if it >= args.steps:
+                break
+            batch = jax.tree_util.tree_map(jnp.asarray, batch)
+            state, metrics = train_step(state, batch)
+            it += 1
+            if it % 25 == 0 or it == 1:
+                total = float(metrics['total'])
+                if first_loss is None:
+                    first_loss = total
+                parts = ' '.join(
+                    f'{k}:{float(v):.2f}' for k, v in sorted(metrics.items())
+                    if k not in ('total', 'lr'))
+                print(f'[{it:5d}] total={total:.3f} | {parts} | '
+                      f'{(time.perf_counter() - t0) / it:.2f}s/it')
+
+    # ---- eval on the training videos (overfit check) ----
+    import eval as eval_script
+    eval_args = eval_script.parse_args([
+        '--ann_file', ann_file, '--img_prefix', img_prefix,
+        '--eval_metrics', '--mask_det_file',
+        os.path.join(args.out, 'results.json')])
+    stats = eval_script.evaluate_dataset_batched(eval_args, cfg, model,
+                                                 state.params)
+    print('OVERFIT SANITY:', json.dumps(stats))
+    ok = stats is not None and stats['mAP'] > 0.3
+    print('PASS' if ok else 'WEAK', '- mAP',
+          stats['mAP'] if stats else None)
+
+
+if __name__ == '__main__':
+    main()
