@@ -287,7 +287,7 @@ def track_to_segment_loss(cfg: STMaskConfig, temporal_net_fn,
         preds['proto'].reshape((b, 2) + preds['proto'].shape[1:])[:, 1])
 
     ids_t_ref = t.ids_t.reshape(b, 2, -1)[:, 0]       # [B, P]
-    g = gt['boxes'].shape[2]
+    g = gt['boxes'].shape[1]                          # gt capacity per frame
     gt_boxes = gt['boxes'].reshape(b, 2, g, 4)
     gt_ids = gt['ids'].reshape(b, 2, g)
     gt_valid = gt['valid'].reshape(b, 2, g)

@@ -42,21 +42,31 @@ def make_optimizer(cfg: STMaskConfig) -> optax.GradientTransformation:
     )
 
 
-def build_train_step(cfg: STMaskConfig, model: STMask):
+def build_train_step(cfg: STMaskConfig, model: STMask,
+                     remat: bool = False):
     """Returns (train_step, init_state_fn).
 
     train_step(state, batch) -> (state, metrics); batch:
       images [B, 2, H, W, 3] normalized;
       boxes [B, 2, G, 4]; labels/ids/valid [B, 2, G];
       masks_proto [B, 2, G, Hp, Wp] uint8.
+
+    remat: rematerialize the forward pass (jax.checkpoint) — trades FLOPs
+    for activation memory to fit larger per-chip batches.
     """
     priors = jnp.asarray(all_priors(cfg))
     tx = make_optimizer(cfg)
 
+    def forward(params, images):
+        return model.apply(params, images, train=True)
+
+    if remat:
+        forward = jax.checkpoint(forward)
+
     def loss_fn(params, batch):
         images = batch['images']
         b = images.shape[0]
-        preds = model.apply(params, images, train=True)
+        preds = forward(params, images)
 
         def flatten(x):
             return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])

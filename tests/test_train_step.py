@@ -8,8 +8,10 @@ from stmask_tpu.models import STMask
 from stmask_tpu.train import build_train_step, learning_rate, autoscale
 from stmask_tpu.parallel import make_mesh, replicate, shard_batch
 
+# NOTE: max_gt_per_frame deliberately != 4 (the box-coordinate dim) so axis
+# mixups in gt reshapes fail loudly.
 TINY = get_config('STMask_plus_resnet50').replace(
-    img_w=128, img_h=96, max_gt_per_frame=4, masks_to_train=16)
+    img_w=128, img_h=96, max_gt_per_frame=6, masks_to_train=16)
 
 
 def _synthetic_batch(cfg, b=1, rng=None):
