@@ -1,0 +1,72 @@
+"""Training-step throughput benchmark (single chip, synthetic batch)."""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--batch_size', type=int, default=8)
+    p.add_argument('--steps', type=int, default=20)
+    p.add_argument('--config', default='STMask_plus_resnet50')
+    p.add_argument('--remat', action='store_true')
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from stmask_tpu.config import get_config
+    from stmask_tpu.models import STMask
+    from stmask_tpu.train import build_train_step
+
+    cfg = get_config(args.config)
+    model = STMask(cfg)
+    b = args.batch_size
+    g = cfg.max_gt_per_frame
+    hp, wp = cfg.pad_h // 4, cfg.pad_w // 4
+    rng = np.random.RandomState(0)
+
+    x0 = jnp.zeros((1, 2, cfg.pad_h, cfg.pad_w, 3))
+    params = model.init(jax.random.PRNGKey(0), x0, train=True)
+    train_step, init_state = build_train_step(cfg, model, remat=args.remat)
+    state = init_state(params)
+
+    boxes = np.zeros((b, 2, g, 4), np.float32)
+    labels = np.zeros((b, 2, g), np.int32)
+    ids = np.zeros((b, 2, g), np.int32)
+    valid = np.zeros((b, 2, g), bool)
+    masks = np.zeros((b, 2, g, hp, wp), np.uint8)
+    for i in range(b):
+        for f in range(2):
+            boxes[i, f, 0] = [0.2, 0.2, 0.6, 0.7]
+            labels[i, f, 0] = 1 + i % (cfg.num_classes - 1)
+            ids[i, f, 0] = i + 1
+            valid[i, f, 0] = True
+            masks[i, f, 0, hp // 5:7 * hp // 10, wp // 5:6 * wp // 10] = 1
+    batch = {
+        'images': jnp.asarray(
+            rng.randn(b, 2, cfg.pad_h, cfg.pad_w, 3).astype(np.float32)),
+        'boxes': jnp.asarray(boxes), 'labels': jnp.asarray(labels),
+        'ids': jnp.asarray(ids), 'valid': jnp.asarray(valid),
+        'masks_proto': jnp.asarray(masks),
+    }
+
+    state, metrics = train_step(state, batch)
+    jax.block_until_ready(metrics['total'])
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = train_step(state, batch)
+    jax.block_until_ready(metrics['total'])
+    dt = (time.perf_counter() - t0) / args.steps
+    print(f'batch={b} step={dt * 1000:.1f} ms '
+          f'-> {b / dt:.1f} clips/s ({2 * b / dt:.1f} frames/s) '
+          f'loss={float(metrics["total"]):.3f}')
+
+
+if __name__ == '__main__':
+    main()

@@ -160,6 +160,30 @@ def _free_slots(cfg: STMaskConfig, state: TrackState) -> jax.Array:
     return ~state.valid | dead
 
 
+def merge_candidates(cand: Detections,
+                     shifted: Detections) -> Detections:
+    """Merge current detections with shifted reference candidates into one
+    fixed-capacity, score-sorted set (reference TF_utils.py:85-96
+    merge_candidates; used by multi-clip evaluation variants)."""
+    import jax.numpy as jnp
+
+    def cat(a, b):
+        return jnp.concatenate([a, b], axis=0)
+
+    scores = cat(jnp.where(cand.valid, cand.score, -jnp.inf),
+                 jnp.where(shifted.valid, shifted.score, -jnp.inf))
+    d = cand.score.shape[0]
+    top, idx = jax.lax.top_k(scores, d)
+    return Detections(
+        box=cat(cand.box, shifted.box)[idx],
+        score=top,
+        cls=cat(cand.cls, shifted.cls)[idx],
+        mask_coeff=cat(cand.mask_coeff, shifted.mask_coeff)[idx],
+        track=cat(cand.track, shifted.track)[idx],
+        centerness=cat(cand.centerness, shifted.centerness)[idx],
+        valid=jnp.isfinite(top))
+
+
 class Assignment(NamedTuple):
     """Vectorized resolution of the greedy det->track assignment."""
     # matched updates
