@@ -140,6 +140,36 @@ def focal_conf_sigmoid_loss(cfg: STMaskConfig, preds: Dict,
     return cfg.conf_alpha * jnp.sum(loss) / denom
 
 
+def focal_conf_loss(cfg: STMaskConfig, preds: Dict,
+                    t: MatchedTargets) -> jax.Array:
+    """Softmax focal loss over OHEM-selected samples
+    (multibox_loss.py:459-477)."""
+    f, p, ncls = preds['conf'].shape
+    conf = preds['conf'].reshape(-1, ncls)
+    conf_t = t.conf_t.reshape(-1)
+    pos = conf_t > 0
+    neutral = conf_t < 0
+
+    # hard negatives as in OHEM
+    loss_c = jax.nn.logsumexp(conf, axis=-1) - conf[:, 0]
+    loss_c = jnp.where(pos | neutral, 0.0, loss_c)
+    num_pos = jnp.sum(pos)
+    num_neg = jnp.minimum(cfg.ohem_negpos_ratio * num_pos, f * p - 1)
+    order = jnp.argsort(-loss_c)
+    rank = jnp.zeros_like(order).at[order].set(jnp.arange(f * p))
+    neg = (rank < num_neg) & ~pos & ~neutral
+    keep = pos | neg
+
+    tgt = jnp.maximum(conf_t, 0)
+    logpt = jax.nn.log_softmax(conf, axis=-1)
+    logpt = jnp.take_along_axis(logpt, tgt[:, None], axis=-1)[:, 0]
+    pt = jnp.exp(logpt)
+    at = (1 - cfg.focal_loss_alpha) * pos.astype(jnp.float32) \
+        + cfg.focal_loss_alpha * neg.astype(jnp.float32)
+    loss = -at * (1 - pt) ** cfg.focal_loss_gamma * logpt
+    return cfg.conf_alpha * jnp.sum(jnp.where(keep, loss, 0.0)) / f
+
+
 def coeff_diversity_loss(cfg: STMaskConfig, preds: Dict,
                          t: MatchedTargets,
                          alpha: float = 5.0) -> jax.Array:
