@@ -15,7 +15,8 @@ def main():
     p.add_argument('--batch_size', type=int, default=8)
     p.add_argument('--steps', type=int, default=20)
     p.add_argument('--config', default='STMask_plus_resnet50')
-    p.add_argument('--remat', action='store_true')
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--bf16", action="store_true")
     args = p.parse_args()
 
     import jax
@@ -33,7 +34,10 @@ def main():
 
     x0 = jnp.zeros((1, 2, cfg.pad_h, cfg.pad_w, 3))
     params = model.init(jax.random.PRNGKey(0), x0, train=True)
-    train_step, init_state = build_train_step(cfg, model, remat=args.remat)
+    import jax.numpy as _jnp
+    train_step, init_state = build_train_step(
+        cfg, model, remat=args.remat,
+        compute_dtype=_jnp.bfloat16 if args.bf16 else None)
     state = init_state(params)
 
     boxes = np.zeros((b, 2, g, 4), np.float32)

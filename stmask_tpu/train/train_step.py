@@ -43,7 +43,7 @@ def make_optimizer(cfg: STMaskConfig) -> optax.GradientTransformation:
 
 
 def build_train_step(cfg: STMaskConfig, model: STMask,
-                     remat: bool = False):
+                     remat: bool = False, compute_dtype=None):
     """Returns (train_step, init_state_fn).
 
     train_step(state, batch) -> (state, metrics); batch:
@@ -53,12 +53,25 @@ def build_train_step(cfg: STMaskConfig, model: STMask,
 
     remat: rematerialize the forward pass (jax.checkpoint) — trades FLOPs
     for activation memory to fit larger per-chip batches.
+    compute_dtype: e.g. jnp.bfloat16 — mixed-precision forward/backward for
+    the conv stack; master params, losses, and the optimizer stay fp32
+    (prediction tensors are cast back before the losses).
     """
     priors = jnp.asarray(all_priors(cfg))
     tx = make_optimizer(cfg)
 
     def forward(params, images):
-        return model.apply(params, images, train=True)
+        if compute_dtype is not None:
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(compute_dtype)
+                if x.dtype == jnp.float32 else x, params)
+            images = images.astype(compute_dtype)
+        preds = model.apply(params, images, train=True)
+        if compute_dtype is not None:
+            preds = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32)
+                if x.dtype == compute_dtype else x, preds)
+        return preds
 
     if remat:
         forward = jax.checkpoint(forward)
