@@ -75,7 +75,9 @@ def match(pos_thresh: float, neg_thresh: float,
     logz = jax.nn.logsumexp(conf_data, axis=-1)                  # [P]
     ce = logz - jnp.take_along_axis(
         conf_data, labels_for_prior[:, None], axis=-1)[:, 0]
-    cla_score = 2.0 / (1.0 + jnp.exp(ce))                        # in [0, 1]
+    # 2/(1+exp(ce)) written as 2*sigmoid(-ce): same value, but no exp
+    # overflow (and no NaN in the backward) for large cross-entropies
+    cla_score = 2.0 * jax.nn.sigmoid(-ce)                        # in [0, 1]
     best_truth_overlap = jnp.where(
         keep_cla, best_truth_overlap + cla_score, best_truth_overlap)
     n_keep = jnp.sum(keep_cla)

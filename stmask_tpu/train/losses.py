@@ -341,9 +341,15 @@ def track_to_segment_loss(cfg: STMaskConfig, temporal_net_fn,
         anchor_has = jnp.any(anchor_gt, axis=1)
         pos = anchor_has & persists[anchor_row]
 
-        # gt box shift regression target
-        box_ref_g = gt_boxes_i[0]                               # [G, 4]
-        box_next_g = gt_boxes_i[1][next_idx]                    # [G, 4]
+        # gt box shift regression target; padded gt rows are zero-size
+        # boxes and the ref box acts as the encode *prior* (divisor), so
+        # substitute a unit box there — inf/NaN in masked-out lanes would
+        # otherwise poison gradients through the masking `where`
+        unit = jnp.asarray([0.0, 0.0, 1.0, 1.0])
+        box_ref_g = jnp.where(val_ref[:, None], gt_boxes_i[0], unit)
+        box_next_g = jnp.where(
+            (val_ref & persists)[:, None],
+            gt_boxes_i[1][next_idx], unit)                      # [G, 4]
         reg_g = encode(box_next_g, center_size(box_ref_g))      # [G, 4]
 
         idx, valid = _top_pos_indices(pos, shift_cap)
