@@ -39,7 +39,11 @@ def smooth_l1(x: jax.Array, y: jax.Array) -> jax.Array:
 
 
 def _bce(pred: jax.Array, target: jax.Array) -> jax.Array:
-    p = jnp.clip(pred, EPS, 1.0 - EPS)
+    # NOTE: the clip epsilon must be representable against 1.0 in fp32 —
+    # 1 - 1e-10 rounds to exactly 1.0 and log(1-p) returns -inf once the
+    # sigmoid saturates, which then NaN-poisons masked (0-weight) lanes.
+    eps = 1e-6
+    p = jnp.clip(pred, eps, 1.0 - eps)
     return -(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p))
 
 
