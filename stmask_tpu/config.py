@@ -194,6 +194,11 @@ class STMaskConfig:
     track_capacity: int = 128             # padded track-state slots
     shift_capacity: int = 32              # active slots run through TemporalNet
 
+    # ---- delayed settings (reference config.py:582-584) ----
+    # ((iteration, (('field', value), ...)), ...): applied once the training
+    # iteration passes the threshold (train.py rebuilds the step program)
+    delayed_settings: Tuple = ()
+
     # ---- input geometry ----
     img_w: int = 640
     img_h: int = 360                      # pre-pad height; padded to 384

@@ -118,10 +118,19 @@ def main(argv=None):
     epoch_size = max(1, len(loader.index) // args.batch_size)
     num_epochs = (cfg.max_iter + epoch_size - 1) // epoch_size
 
+    pending_delayed = sorted(cfg.delayed_settings)
+
     with InterruptSaver(ckpt) as saver:
         for epoch in range(num_epochs):
             if (epoch + 1) * epoch_size < iteration:
                 continue
+            # delayed config changes (reference train.py:278-291):
+            # applied at epoch boundaries; the step program is rebuilt
+            while pending_delayed and iteration >= pending_delayed[0][0]:
+                _, changes = pending_delayed.pop(0)
+                cfg = cfg.replace(**dict(changes))
+                print('Applying delayed settings:', dict(changes))
+                train_step, _ = build_train_step(cfg, model)
             batches = Prefetcher(loader.epoch(epoch),
                                  put_fn=lambda b: shard_batch(
                                      mesh, jax.tree_util.tree_map(
