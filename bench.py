@@ -20,7 +20,7 @@ import numpy as np
 
 BASELINE_FPS = 29.3
 WARMUP = 5
-FRAMES = 50
+FRAMES = 200
 
 
 CHUNK = 10      # frames per dispatch (lax.scan)
