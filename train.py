@@ -39,6 +39,9 @@ def parse_args(argv=None):
     p.add_argument('--max_iter', type=int, default=None)
     p.add_argument('--lr', type=float, default=None)
     p.add_argument('--no_autoscale', action='store_true')
+    p.add_argument('--img_w', type=int, default=None,
+                   help='override input width (debug/small-scale runs)')
+    p.add_argument('--img_h', type=int, default=None)
     return p.parse_args(argv)
 
 
@@ -65,6 +68,10 @@ def main(argv=None):
         cfg = cfg.replace(lr=args.lr)
     if args.max_iter is not None:
         cfg = cfg.replace(max_iter=args.max_iter)
+    if args.img_w is not None:
+        cfg = cfg.replace(img_w=args.img_w)
+    if args.img_h is not None:
+        cfg = cfg.replace(img_h=args.img_h)
 
     if args.ann_file is None or args.img_prefix is None:
         print('No --ann_file/--img_prefix given; nothing to train on.',
@@ -106,7 +113,14 @@ def main(argv=None):
                 start_iter = parsed[2]
             print(f'Resumed from {path} at iteration {start_iter}')
 
-    mesh = make_mesh()
+    # data-parallel mesh over the largest device count dividing the batch
+    n_dev = len(jax.devices())
+    while args.batch_size % n_dev:
+        n_dev -= 1
+    mesh = make_mesh(n_dev)
+    if n_dev < len(jax.devices()):
+        print(f'batch {args.batch_size} not divisible by '
+              f'{len(jax.devices())} devices; using {n_dev}')
     state = replicate(mesh, state)
 
     log = Log(cfg.name, args.log_folder,
