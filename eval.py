@@ -48,6 +48,8 @@ def parse_args(argv=None):
                    help='one-video-at-a-time eval (debug / latency mode)')
     p.add_argument('--bf16', action='store_true', default=True)
     p.add_argument('--fp32', dest='bf16', action='store_false')
+    p.add_argument('--coco', action='store_true',
+                   help='image-level COCO eval (images as 1-frame videos)')
     return p.parse_args(argv)
 
 
@@ -127,8 +129,14 @@ def evaluate_dataset_batched(args, cfg, model, params):
 
     b = args.batch_videos
     k = args.chunk_frames
-    dataset = YTVISDataset(args.ann_file, args.img_prefix,
-                           has_annotations=args.eval_metrics)
+    if getattr(args, 'coco', False):
+        from stmask_tpu.data.coco import COCOAsVideos, COCODataset
+        dataset = COCOAsVideos(COCODataset(
+            args.ann_file, args.img_prefix,
+            has_annotations=args.eval_metrics))
+    else:
+        dataset = YTVISDataset(args.ann_file, args.img_prefix,
+                               has_annotations=args.eval_metrics)
     if args.bf16:
         params = cast_params(params, jnp.bfloat16)
     video_chunk, make_states = build_video_step_batched(cfg, model, b, k)
@@ -204,8 +212,11 @@ def evaluate_dataset_batched(args, cfg, model, params):
     print(f'wrote {len(json_results)} tracks to {args.mask_det_file}')
     if args.eval_metrics:
         from stmask_tpu.utils.ytvis_eval import evaluate_ytvis
-        with open(args.ann_file) as fh:
-            gt = json.load(fh)
+        if getattr(args, 'coco', False):
+            gt = dataset.to_ytvis_gt()
+        else:
+            with open(args.ann_file) as fh:
+                gt = json.load(fh)
         stats = evaluate_ytvis(gt, json_results)
         print(json.dumps(stats, indent=2))
         return stats

@@ -70,3 +70,51 @@ class COCODataset:
 
     def train_index(self) -> List[int]:
         return [i for i in self.image_ids() if self.annots_by_img.get(i)]
+
+
+class COCOAsVideos:
+    """Adapter: expose a COCO image dataset through the video-dataset
+    interface (each image = a 1-frame video, ``is_first`` always set), so
+    the image-level COCO path (reference README.md:128-141, 550x550
+    YOLACT-style) reuses the streaming eval machinery unchanged."""
+
+    def __init__(self, coco: COCODataset):
+        self.coco = coco
+
+    def video_ids(self) -> List[int]:
+        return self.coco.image_ids()
+
+    def num_frames(self, vid: int) -> int:
+        return 1
+
+    def frame_path(self, vid: int, frame_id: int) -> str:
+        return self.coco.image_path(vid)
+
+    def frame_size(self, vid: int) -> Tuple[int, int]:
+        return self.coco.image_size(vid)
+
+    def frame_annots(self, vid: int, frame_id: int):
+        return self.coco.image_annots(vid)
+
+    def to_ytvis_gt(self) -> Dict:
+        """Ground truth in YTVIS schema (1-frame videos) so the track-mAP
+        evaluator doubles as the COCO image-mAP evaluator."""
+        from ..utils import rle as rle_util
+        videos, annotations = [], []
+        aid = 1
+        for img_id in self.coco.image_ids():
+            h, w = self.coco.image_size(img_id)
+            videos.append({'id': img_id, 'file_names': ['0'],
+                           'height': h, 'width': w})
+            ann = self.coco.image_annots(img_id)
+            for i in range(len(ann.labels)):
+                annotations.append({
+                    'id': aid, 'video_id': img_id,
+                    'category_id': int(ann.labels[i]),
+                    'segmentations': [rle_util.encode(ann.masks[i])],
+                })
+                aid += 1
+        cats = [{'id': i + 1, 'name': str(i + 1)}
+                for i in range(len(self.coco.categories))]
+        return {'videos': videos, 'annotations': annotations,
+                'categories': cats}
