@@ -7,8 +7,10 @@ onto this framework's module tree:
   * conv weights OIHW -> HWIO; linear [out,in] -> [in,out];
   * BatchNorm (weight, bias, running_mean, running_var) ->
     FrozenBatchNorm (scale, bias, mean, var);
-  * DCNv2 offset-mask conv channel order (dy-block, dx-block, mask-block)
-    is preserved — ``ops.deform_conv.dcn_v2_offsets`` consumes that layout;
+  * DCNv2 offset-mask conv channels pass through unchanged: the CUDA kernel
+    reads the (o1‖o2) concat (dy, dx)-interleaved per tap, so the first 2K
+    output channels are already the canonical layout
+    (``ops.deform_conv.dcn_v2_offsets`` slices, never permutes);
   * FCB conv_offset 1x1 and DeformConv2d adaption weights map directly (the
     interleaved (dy, dx) tap layout rides along with the output channels);
   * legacy keys (``backbone.layer*`` without the s, extra fpn downsamples)

@@ -90,13 +90,16 @@ def deform_conv2d(x: jax.Array,
 
 def dcn_v2_offsets(conv_out: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     """Split a DCNv2 ``conv_offset_mask`` output [B,H,W,3K] into
-    (offset [B,H,W,2K], mask [B,H,W,K]) with the torch channel layout:
-    first K channels dy, next K dx, last K mask logits (CharlesShang DCNv2
-    chunks into o1, o2, mask and concatenates (o1, o2))."""
-    o1 = conv_out[..., :k]
-    o2 = conv_out[..., k:2 * k]
+    (offset [B,H,W,2K], mask [B,H,W,K]).
+
+    Channel semantics match the CharlesShang DCNv2 CUDA kernel exactly:
+    ``DCN.forward`` chunks the 3K conv output into (o1, o2, mask) and
+    concatenates (o1, o2) back — an identity on the first 2K channels —
+    and ``modulated_deformable_im2col`` then reads that tensor
+    *(dy, dx)-interleaved per tap* (``data_offset_h_ptr = 2*(i*kw+j)``,
+    ``data_offset_w_ptr = 2*(i*kw+j)+1``).  So the first 2K channels ARE
+    the interleaved offsets; no permutation is applied (a dy-block/dx-block
+    reinterpretation here would scramble imported checkpoints)."""
+    off = conv_out[..., :2 * k]
     m = jax.nn.sigmoid(conv_out[..., 2 * k:])
-    # interleave (dy, dx) per tap to the canonical layout
-    off = jnp.stack([o1, o2], axis=-1).reshape(
-        conv_out.shape[:-1] + (2 * k,))
     return off, m

@@ -14,9 +14,6 @@ from stmask_tpu.models import STMask  # noqa: E402
 
 from torch_mirror import TSTMask  # noqa: E402
 
-CFG = get_config('STMask_resnet50').replace(img_w=128, img_h=96)
-
-
 def _randomize_bn(module):
     for m in module.modules():
         if isinstance(m, torch.nn.BatchNorm2d):
@@ -27,19 +24,41 @@ def _randomize_bn(module):
                 m.running_var.copy_(torch.rand_like(m.running_var) + 0.5)
 
 
-@pytest.mark.slow
-def test_full_forward_parity():
-    torch.manual_seed(0)
-    tmodel = TSTMask(num_classes=CFG.num_classes).eval()
-    _randomize_bn(tmodel)
+def _randomize_dcn(module):
+    """Give every DCN offset predictor nonzero weights so the parity test
+    exercises the offset-channel layout (zero offsets would pass under any
+    permutation)."""
+    from torch_mirror import NaiveDCNv2, TFeatureAlign
+    for m in module.modules():
+        with torch.no_grad():
+            if isinstance(m, NaiveDCNv2):
+                m.conv_offset_mask.weight.normal_(std=0.01)
+                m.conv_offset_mask.bias.normal_(std=0.5)
+            if isinstance(m, TFeatureAlign):
+                m.conv_offset.weight.normal_(std=0.1)
 
-    x = torch.randn(1, 3, CFG.pad_h, CFG.pad_w)
+
+@pytest.mark.slow
+@pytest.mark.parametrize('cfg_name,mirror_kwargs', [
+    ('STMask_resnet50', {}),
+    ('STMask_plus_resnet50', dict(dcn_layers=(0, 4, 6, 3), dcn_interval=2)),
+    ('STMask_plus_resnet50_ada',
+     dict(dcn_layers=(0, 4, 6, 3), dcn_interval=2, fcb_ada=True)),
+])
+def test_full_forward_parity(cfg_name, mirror_kwargs):
+    cfg = get_config(cfg_name).replace(img_w=128, img_h=96)
+    torch.manual_seed(0)
+    tmodel = TSTMask(num_classes=cfg.num_classes, **mirror_kwargs).eval()
+    _randomize_bn(tmodel)
+    _randomize_dcn(tmodel)
+
+    x = torch.randn(1, 3, cfg.pad_h, cfg.pad_w)
     with torch.no_grad():
         ref = tmodel(x)
 
     # convert weights into the flax tree
     converted = convert_state_dict(tmodel.mirror_state_dict())
-    model = STMask(CFG)
+    model = STMask(cfg)
     xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
     params = model.init(jax.random.PRNGKey(0), xj, train=False)
     params = merge_params(params, converted['params'])

@@ -131,14 +131,59 @@ def test_deform_conv_modulation_scales():
 
 
 def test_dcn_v2_offset_split_layout():
+    # CharlesShang CUDA kernel semantics: the (o1||o2) concat (= first 2K
+    # channels of conv_offset_mask) is read (dy, dx)-interleaved per tap —
+    # channel 2t = dy_t, 2t+1 = dx_t.  No permutation.
     conv_out = np.zeros((1, 2, 2, 27), np.float32)
     conv_out[..., 0] = 3.0      # dy of tap 0
-    conv_out[..., 9] = 5.0      # dx of tap 0
+    conv_out[..., 1] = 5.0      # dx of tap 0
+    conv_out[..., 16] = 7.0     # dy of tap 8
     off, m = dcn_v2_offsets(jnp.asarray(conv_out), 9)
     assert off.shape == (1, 2, 2, 18)
     np.testing.assert_allclose(np.asarray(off)[0, 0, 0, 0], 3.0)
     np.testing.assert_allclose(np.asarray(off)[0, 0, 0, 1], 5.0)
+    np.testing.assert_allclose(np.asarray(off)[0, 0, 0, 16], 7.0)
     np.testing.assert_allclose(np.asarray(m), 0.5)  # sigmoid(0)
+
+
+def test_deform_conv_matches_naive_torch_cuda_indexing():
+    """Ground truth for the offset-channel layout: a naive torch modulated
+    deform conv implementing the CUDA kernels' exact indexing (channel
+    2t=dy_t, 2t+1=dx_t over the concatenated offset tensor) must agree with
+    deform_conv2d + dcn_v2_offsets on random nonzero offsets."""
+    import pytest
+    torch = pytest.importorskip('torch')
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from torch_mirror import NaiveDCNv2
+
+    rng = np.random.RandomState(3)
+    b, h, w, cin, cout = 2, 9, 11, 6, 5
+    x = rng.randn(b, cin, h, w).astype(np.float32)
+
+    torch.manual_seed(0)
+    mod = NaiveDCNv2(cin, cout, 3)
+    with torch.no_grad():
+        mod.conv_offset_mask.weight.mul_(0.3)
+        mod.conv_offset_mask.bias.copy_(
+            torch.from_numpy(rng.randn(27).astype(np.float32) * 0.7))
+        mod.bias.copy_(torch.from_numpy(rng.randn(cout).astype(np.float32)))
+        ref = mod(torch.from_numpy(x)).numpy()
+
+    # same weights through the jax op (NCHW->NHWC, OIHW->HWIO)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    om_w = jnp.asarray(
+        mod.conv_offset_mask.weight.detach().numpy().transpose(2, 3, 1, 0))
+    om_b = jnp.asarray(mod.conv_offset_mask.bias.detach().numpy())
+    conv_out = jax.lax.conv_general_dilated(
+        xj, om_w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + om_b
+    off, m = dcn_v2_offsets(conv_out, 9)
+    wj = jnp.asarray(mod.weight.detach().numpy().transpose(2, 3, 1, 0))
+    bj = jnp.asarray(mod.bias.detach().numpy())
+    out = deform_conv2d(xj, off, wj, mask=m, bias=bj)
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), ref, atol=2e-5)
 
 
 def _np_correlate(x1, x2, patch):

@@ -17,15 +17,126 @@ import torch.nn as nn
 import torch.nn.functional as F
 
 
+def _bilinear_zero(x, py, px):
+    """Zero-padded bilinear sampling, the boundary semantics of the DCNv2 /
+    mmcv deform-conv CUDA kernels (corners outside [0,H)x[0,W) contribute 0).
+
+    x: [B, C, H, W]; py, px: [B, Ho, Wo] float -> [B, C, Ho, Wo].
+    """
+    b, c, h, w = x.shape
+    y0 = torch.floor(py)
+    x0 = torch.floor(px)
+    out = 0
+    flat = x.reshape(b, c, h * w)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            yi = y0 + dy
+            xi = x0 + dx
+            wgt = ((1 - (py - yi).abs()).clamp(min=0)
+                   * (1 - (px - xi).abs()).clamp(min=0))
+            valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+            yc = yi.clamp(0, h - 1).long()
+            xc = xi.clamp(0, w - 1).long()
+            idx = (yc * w + xc).reshape(b, 1, -1).expand(b, c, -1)
+            g = flat.gather(2, idx).reshape(b, c, *py.shape[1:])
+            out = out + g * (wgt * valid).unsqueeze(1)
+    return out
+
+
+def naive_deform_conv2d(x, offset, weight, mask=None, bias=None, stride=1,
+                        dilation=1):
+    """Deformable conv implementing the CUDA kernels' *exact* offset
+    indexing: offset channel ``2*(i*kw+j)`` is dy and ``2*(i*kw+j)+1`` is dx
+    of tap (i, j) (dcn_v2_im2col_cuda.cu ``data_offset_h_ptr`` /
+    ``data_offset_w_ptr``; mmcv deform_im2col is identical).  Modulated (v2)
+    when ``mask`` [B, K, Ho, Wo] is given.
+
+    x: [B, Cin, H, W]; offset: [B, 2K, Ho, Wo]; weight: [Cout, Cin, kh, kw].
+    """
+    b, cin, h, w = x.shape
+    cout, _, kh, kw = weight.shape
+    _, _, ho, wo = offset.shape
+    pad_h = (kh - 1) // 2 * dilation
+    pad_w = (kw - 1) // 2 * dilation
+    oy = torch.arange(ho, dtype=x.dtype) * stride - pad_h
+    ox = torch.arange(wo, dtype=x.dtype) * stride - pad_w
+    out = torch.zeros(b, cout, ho, wo, dtype=x.dtype)
+    for i in range(kh):
+        for j in range(kw):
+            t = i * kw + j
+            py = (oy[None, :, None] + i * dilation + offset[:, 2 * t])
+            px = (ox[None, None, :] + j * dilation + offset[:, 2 * t + 1])
+            vals = _bilinear_zero(x, py, px)          # [B, Cin, Ho, Wo]
+            if mask is not None:
+                vals = vals * mask[:, t:t + 1]
+            out = out + torch.einsum('bchw,oc->bohw', vals,
+                                     weight[:, :, i, j])
+    if bias is not None:
+        out = out + bias.reshape(1, -1, 1, 1)
+    return out
+
+
+class NaiveDCNv2(nn.Module):
+    """Modulated deformable conv with the CharlesShang DCN state_dict layout
+    (parameters ``weight``/``bias`` + submodule ``conv_offset_mask``)."""
+
+    def __init__(self, in_ch, out_ch, kernel_size=3, stride=1, dilation=1):
+        super().__init__()
+        k = kernel_size * kernel_size
+        self.stride, self.dilation = stride, dilation
+        self.weight = nn.Parameter(
+            torch.randn(out_ch, in_ch, kernel_size, kernel_size) * 0.05)
+        self.bias = nn.Parameter(torch.zeros(out_ch))
+        self.conv_offset_mask = nn.Conv2d(
+            in_ch, 3 * k, kernel_size, stride=stride, padding=dilation)
+
+    def forward(self, x):
+        k = self.weight.shape[2] * self.weight.shape[3]
+        om = self.conv_offset_mask(x)
+        # DCN.forward chunks (o1, o2, mask) and cats (o1, o2) — identity on
+        # the first 2K channels; the kernel reads them (dy,dx)-interleaved.
+        offset, mask = om[:, :2 * k], torch.sigmoid(om[:, 2 * k:])
+        return naive_deform_conv2d(x, offset, self.weight, mask=mask,
+                                   bias=self.bias, stride=self.stride,
+                                   dilation=self.dilation)
+
+
+class TFeatureAlign(nn.Module):
+    """FCB (mmcv DeformConv2d v1) mirror, ada mode — reference
+    Featurealign.py:20-44 with deform_groups=1 (STMask.py:95)."""
+
+    def __init__(self, in_ch, out_ch, kernel_size):
+        super().__init__()
+        kh, kw = kernel_size
+        self.kernel_size = kernel_size
+        self.conv_offset = nn.Conv2d(4, 2 * kh * kw, 1, bias=False)
+        # mmcv DeformConv2d exposes a bare ``weight`` parameter (no bias);
+        # wrap in a module so the state_dict key is conv_adaption.weight.
+        self.conv_adaption = nn.Module()
+        self.conv_adaption.weight = nn.Parameter(
+            torch.randn(in_ch, in_ch, kh, kw) * 0.01)
+        self.conv = nn.Conv2d(in_ch, out_ch, kernel_size,
+                              padding=((kh - 1) // 2, (kw - 1) // 2))
+
+    def forward(self, x, shape):
+        offset = self.conv_offset(shape.detach())
+        x = F.relu(naive_deform_conv2d(x, offset, self.conv_adaption.weight))
+        return self.conv(x)
+
+
 class TBottleneck(nn.Module):
     expansion = 4
 
-    def __init__(self, inplanes, planes, stride=1, downsample=None):
+    def __init__(self, inplanes, planes, stride=1, downsample=None,
+                 use_dcn=False):
         super().__init__()
         self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
         self.bn1 = nn.BatchNorm2d(planes)
-        self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride, padding=1,
-                               bias=False)
+        if use_dcn:
+            self.conv2 = NaiveDCNv2(planes, planes, 3, stride=stride)
+        else:
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride,
+                                   padding=1, bias=False)
         self.bn2 = nn.BatchNorm2d(planes)
         self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
         self.bn3 = nn.BatchNorm2d(planes * 4)
@@ -41,8 +152,17 @@ class TBottleneck(nn.Module):
         return F.relu(out + r)
 
 
+def _dcn_flags(blocks, dcn_layers, dcn_interval):
+    """Which blocks of a stage use DCN (reference backbone.py:124-131)."""
+    flags = [dcn_layers >= blocks]
+    for i in range(1, blocks):
+        flags.append(((i + dcn_layers) >= blocks) and (i % dcn_interval == 0))
+    return flags
+
+
 class TResNet(nn.Module):
-    def __init__(self, layers=(3, 4, 6, 3)):
+    def __init__(self, layers=(3, 4, 6, 3), dcn_layers=(0, 0, 0, 0),
+                 dcn_interval=1):
         super().__init__()
         self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
         self.bn1 = nn.BatchNorm2d(64)
@@ -50,18 +170,21 @@ class TResNet(nn.Module):
         self.layers = nn.ModuleList()
         self.inplanes = 64
         for i, blocks in enumerate(layers):
+            flags = _dcn_flags(blocks, dcn_layers[i], dcn_interval)
             self.layers.append(self._make_layer(
-                64 * 2 ** i, blocks, stride=1 if i == 0 else 2))
+                64 * 2 ** i, blocks, stride=1 if i == 0 else 2, flags=flags))
 
-    def _make_layer(self, planes, blocks, stride):
+    def _make_layer(self, planes, blocks, stride, flags):
         downsample = nn.Sequential(
             nn.Conv2d(self.inplanes, planes * 4, 1, stride=stride,
                       bias=False),
             nn.BatchNorm2d(planes * 4))
-        mods = [TBottleneck(self.inplanes, planes, stride, downsample)]
+        mods = [TBottleneck(self.inplanes, planes, stride, downsample,
+                            use_dcn=flags[0])]
         self.inplanes = planes * 4
-        for _ in range(1, blocks):
-            mods.append(TBottleneck(self.inplanes, planes))
+        for b in range(1, blocks):
+            mods.append(TBottleneck(self.inplanes, planes,
+                                    use_dcn=flags[b]))
         return nn.Sequential(*mods)
 
     def forward(self, x):
@@ -130,9 +253,10 @@ class THead(nn.Module):
 
     def __init__(self, in_ch=256, num_classes=41, embed_dim=128,
                  mask_dim=32,
-                 kernels=((3, 3), (3, 5), (5, 3))):
+                 kernels=((3, 3), (3, 5), (5, 3)), fcb_ada=False):
         super().__init__()
         self.kernels = kernels
+        self.fcb_ada = fcb_ada
         self.upfeature = nn.Sequential(nn.Conv2d(in_ch, 256, 3, padding=1))
 
         def extra():
@@ -153,7 +277,11 @@ class THead(nn.Module):
 
         self.bbox_layer = bank(4)
         self.centerness_layer = bank(1)
-        self.conf_layer = bank(num_classes)
+        if fcb_ada:
+            self.conf_layer = nn.ModuleList(
+                [TFeatureAlign(256, num_classes, k) for k in kernels])
+        else:
+            self.conf_layer = bank(num_classes)
         self.track_layer = bank(embed_dim)
         self.mask_layer = bank(mask_dim)
         self.num_classes = num_classes
@@ -170,12 +298,15 @@ class THead(nn.Module):
 
         bbox, conf, center, track, maskc = [], [], [], [], []
         for k in range(len(self.kernels)):
-            bbox.append(self.bbox_layer[k](bbox_x)
-                        .permute(0, 2, 3, 1).contiguous())
+            bbox_cur = self.bbox_layer[k](bbox_x)
+            bbox.append(bbox_cur.permute(0, 2, 3, 1).contiguous())
             center.append(self.centerness_layer[k](bbox_x)
                           .permute(0, 2, 3, 1).contiguous())
-            conf.append(self.conf_layer[k](conf_x)
-                        .permute(0, 2, 3, 1).contiguous())
+            if self.fcb_ada:
+                conf_cur = self.conf_layer[k](conf_x, bbox_cur.detach())
+            else:
+                conf_cur = self.conf_layer[k](conf_x)
+            conf.append(conf_cur.permute(0, 2, 3, 1).contiguous())
             track.append(self.track_layer[k](track_x)
                          .permute(0, 2, 3, 1).contiguous())
             maskc.append(self.mask_layer[k](mask_x)
@@ -217,12 +348,15 @@ class TTemporalNet(nn.Module):
 class TSTMask(nn.Module):
     """Full eval-forward mirror producing reference-style state_dict keys."""
 
-    def __init__(self, num_classes=41):
+    def __init__(self, num_classes=41, dcn_layers=(0, 0, 0, 0),
+                 dcn_interval=1, fcb_ada=False):
         super().__init__()
-        self.backbone = TResNet()
+        self.backbone = TResNet(dcn_layers=dcn_layers,
+                                dcn_interval=dcn_interval)
         self.fpn = TFPN()
         self.proto_net = TProtoNet().net
-        self.prediction_layers = nn.ModuleList([THead(num_classes=num_classes)])
+        self.prediction_layers = nn.ModuleList(
+            [THead(num_classes=num_classes, fcb_ada=fcb_ada)])
         self.TemporalNet = TTemporalNet(2 * 256 + 121)
 
     def forward(self, x):
