@@ -50,6 +50,14 @@ def parse_args(argv=None):
     p.add_argument('--fp32', dest='bf16', action='store_false')
     p.add_argument('--coco', action='store_true',
                    help='image-level COCO eval (images as 1-frame videos)')
+    p.add_argument('--nms', default=None,
+                   choices=['cc', 'per_class', 'greedy'],
+                   help="NMS family: 'cc' = cross-class fast NMS (mAP), "
+                        "'per_class' = fast NMS (mAP*), 'greedy' = exact "
+                        "sequential Cython-parity NMS")
+    p.add_argument('--nms_as_miou', action='store_true',
+                   help='blend box IoU with mask IoU in cc NMS '
+                        '(reference detection.py:154-158)')
     return p.parse_args(argv)
 
 
@@ -67,6 +75,10 @@ def load_model(args):
     if cfg is None:
         cfg = get_config('STMask_plus_resnet50')
         print(f'No config resolved; defaulting to {cfg.name}')
+    if getattr(args, 'nms', None):
+        cfg = cfg.replace(eval_nms_method=args.nms)
+    if getattr(args, 'nms_as_miou', False):
+        cfg = cfg.replace(nms_as_miou=True)
 
     model = STMask(cfg)
     x0 = jnp.zeros((1, cfg.pad_h, cfg.pad_w, 3))

@@ -75,6 +75,14 @@ class BackboneConfig:
     # (reference backbone.py:124-131, config args ([...],[0,4,23,3],3))
     dcn_layers: Tuple[int, ...] = (0, 0, 0, 0)
     dcn_interval: int = 1
+    # Window-clamped DCN (TPU deviation): offsets clipped to +-R cells so
+    # the bilinear gather and (crucially) its training adjoint become dense
+    # static shifts instead of XLA's serialized scatter-add while-loop.
+    # 0 disables (exact unclamped gather).  Training uses the window path
+    # whenever radius > 0; eval additionally needs dcn_window_eval
+    # (default False: imported-checkpoint eval parity stays exact).
+    dcn_window_radius: int = 2
+    dcn_window_eval: bool = False
     # which backbone stages feed the FPN (C3, C4, C5 == indices 1, 2, 3)
     selected_layers: Tuple[int, ...] = (1, 2, 3)
 
@@ -134,6 +142,22 @@ class STMaskConfig:
     mask_proto_coeff_activation: str = 'tanh'
     discard_mask_area: int = 25
 
+    # ---- mask re-scoring (FastMaskIoUNet; reference config.py:596-633,
+    # off in every STMask preset but part of the component surface) ----
+    use_maskiou: bool = False
+    maskiou_alpha: float = 5.0
+    rescore_bbox: bool = False
+    rescore_mask: bool = False
+
+    # ---- image-level class-existence head (reference config.py:508-509,
+    # STMask.py:114-117,300-301) ----
+    use_class_existence_loss: bool = False
+    class_existence_alpha: float = 1.0
+
+    # ---- prediction-head family: 'fc' = STMask multi-kernel FCA head,
+    # 'legacy' = single-kernel YOLACT head (reference prediction_head.py) --
+    head_type: str = 'fc'
+
     # ---- temporal fusion (reference config.py:687-693) ----
     temporal_fusion_module: bool = True
     correlation_patch_size: int = 11
@@ -187,9 +211,14 @@ class STMaskConfig:
     candidate_conf_thresh: float = 0.05
     max_num_detections: int = 100
     nms_as_miou: bool = False
+    # NMS family for eval: 'cc' (cross-class fast NMS -> mAP), 'per_class'
+    # (fast NMS -> mAP*), 'greedy' (exact sequential, the Cython-parity
+    # path).  Reference README.md:97: mAP and mAP* columns.
+    eval_nms_method: str = 'cc'
 
     # ---- static-shape capacities (TPU additions; no reference analog) ----
     max_gt_per_frame: int = 32            # padded gt capacity for training
+    crowd_capacity: int = 8               # padded iscrowd regions per frame
     det_capacity: int = 100               # padded detections after NMS
     track_capacity: int = 128             # padded track-state slots
     shift_capacity: int = 32              # active slots run through TemporalNet
@@ -311,6 +340,26 @@ def _build_registry() -> Dict[str, STMaskConfig]:
             name = f'{base_name}_{suffix}'
             reg[name] = reg[base_name].replace(
                 name=name, **_DATASET_OVERRIDES[ds_key])
+
+    # alternative-backbone and legacy-head presets (reference keeps
+    # ResNet-GN / DarkNet53 / VGG16 backbones, backbone.py:188-460, and the
+    # single-kernel YOLACT PredictionModule, prediction_head.py:15)
+    reg['STMask_resnet50_gn'] = _base.replace(
+        name='STMask_resnet50_gn',
+        backbone=BackboneConfig(name='ResNet50_GN', depth=50,
+                                layers=(3, 4, 6, 3)))
+    reg['STMask_darknet53'] = _base.replace(
+        name='STMask_darknet53',
+        backbone=BackboneConfig(name='DarkNet53', layers=(1, 2, 8, 8, 4),
+                                selected_layers=(2, 3, 4)))
+    reg['STMask_vgg16'] = _base.replace(
+        name='STMask_vgg16',
+        backbone=BackboneConfig(name='VGG16', layers=(2, 2, 3, 3, 3),
+                                selected_layers=(3, 4, 5)))
+    reg['YOLACT_legacy_resnet50'] = _base.replace(
+        name='YOLACT_legacy_resnet50', backbone=_R50, head_type='legacy',
+        train_centerness=False, train_track=False,
+        temporal_fusion_module=False, use_boxiou_loss=False)
     return reg
 
 

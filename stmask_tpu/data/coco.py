@@ -47,26 +47,35 @@ class COCODataset:
 
     def image_annots(self, img_id: int,
                      include_crowd: bool = False) -> FrameAnnots:
+        """``include_crowd``: crowds as regular gt (debug only);
+        default routes iscrowd regions into ``crowd_boxes`` so the matcher
+        neutralizes overlapping negatives (reference box_utils.py:119)."""
         h, w = self.image_size(img_id)
         boxes, labels, ids, masks = [], [], [], []
+        crowd = []
         for ann in self.annots_by_img.get(img_id, []):
-            if ann.get('iscrowd', 0) and not include_crowd:
-                continue
             x, y, bw, bh = ann['bbox']
+            if ann.get('iscrowd', 0) and not include_crowd:
+                crowd.append([x, y, x + bw, y + bh])
+                continue
             m = _segm_to_mask(ann.get('segmentation'), h, w)
             boxes.append([x, y, x + bw, y + bh])
             labels.append(self.cat_to_label[ann['category_id']])
             ids.append(ann['id'])
             masks.append(m)
+        crowd_arr = (np.asarray(crowd, np.float32) if crowd
+                     else np.zeros((0, 4), np.float32))
         if not boxes:
             return FrameAnnots(np.zeros((0, 4), np.float32),
                                np.zeros((0,), np.int32),
                                np.zeros((0,), np.int32),
-                               np.zeros((0, h, w), np.uint8))
+                               np.zeros((0, h, w), np.uint8),
+                               crowd_boxes=crowd_arr)
         return FrameAnnots(np.asarray(boxes, np.float32),
                            np.asarray(labels, np.int32),
                            np.asarray(ids, np.int32),
-                           np.stack(masks).astype(np.uint8))
+                           np.stack(masks).astype(np.uint8),
+                           crowd_boxes=crowd_arr)
 
     def train_index(self) -> List[int]:
         return [i for i in self.image_ids() if self.annots_by_img.get(i)]

@@ -61,15 +61,23 @@ def preprocess_frame(cfg: STMaskConfig, img_rgb: np.ndarray,
         return out
 
     w_scale, h_scale = iw / ow, ih / oh
-    boxes = annots.boxes * np.asarray(
-        [w_scale, h_scale, w_scale, h_scale], np.float32)
-    if flip:
-        # bbox_flip (transforms.py:49-61)
-        x1 = iw - boxes[:, 2] - 1
-        x2 = iw - boxes[:, 0] - 1
-        boxes = np.stack([x1, boxes[:, 1], x2, boxes[:, 3]], axis=1)
-    boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, iw) / pw
-    boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, ih) / ph
+
+    def tf_boxes(b):
+        b = b * np.asarray([w_scale, h_scale, w_scale, h_scale], np.float32)
+        if flip:
+            # bbox_flip (transforms.py:49-61)
+            x1 = iw - b[:, 2] - 1
+            x2 = iw - b[:, 0] - 1
+            b = np.stack([x1, b[:, 1], x2, b[:, 3]], axis=1)
+        b = b.copy()
+        b[:, 0::2] = np.clip(b[:, 0::2], 0, iw) / pw
+        b[:, 1::2] = np.clip(b[:, 1::2], 0, ih) / ph
+        return b.astype(np.float32)
+
+    boxes = tf_boxes(annots.boxes)
+    crowd = getattr(annots, 'crowd_boxes', None)
+    crowd = (tf_boxes(crowd.reshape(-1, 4)) if crowd is not None
+             and len(crowd) else np.zeros((0, 4), np.float32))
 
     hp, wp = ph // 4, pw // 4
     n = annots.masks.shape[0]
@@ -87,7 +95,7 @@ def preprocess_frame(cfg: STMaskConfig, img_rgb: np.ndarray,
         masks_proto[i] = (mp_small > 0.5).astype(np.uint8)
 
     out.update(boxes=boxes.astype(np.float32), labels=annots.labels,
-               ids=annots.ids, masks_proto=masks_proto)
+               ids=annots.ids, masks_proto=masks_proto, crowd_boxes=crowd)
     return out
 
 
@@ -130,5 +138,14 @@ def pad_gt(cfg: STMaskConfig, frame: Dict) -> Dict:
     ids[:n] = frame['ids'][:n]
     valid[:n] = True
     masks[:n] = frame['masks_proto'][:n]
+    gc = cfg.crowd_capacity
+    crowd = np.zeros((gc, 4), np.float32)
+    crowd_valid = np.zeros((gc,), bool)
+    cb = frame.get('crowd_boxes')
+    if cb is not None and len(cb):
+        nc = min(len(cb), gc)
+        crowd[:nc] = cb[:nc]
+        crowd_valid[:nc] = True
     return {'image': frame['image'], 'boxes': boxes, 'labels': labels,
-            'ids': ids, 'valid': valid, 'masks_proto': masks}
+            'ids': ids, 'valid': valid, 'masks_proto': masks,
+            'crowd_boxes': crowd, 'crowd_valid': crowd_valid}

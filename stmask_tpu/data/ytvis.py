@@ -31,6 +31,13 @@ class FrameAnnots:
     labels: np.ndarray   # [n]
     ids: np.ndarray      # [n] globally unique instance ids (1-based)
     masks: np.ndarray    # [n, h, w] uint8
+    # crowd regions (iscrowd=1): kept separate and NEUTRALIZED in matching
+    # (reference box_utils.py:119 crowd args), never trained as gt
+    crowd_boxes: np.ndarray = None
+
+    def __post_init__(self):
+        if self.crowd_boxes is None:
+            self.crowd_boxes = np.zeros((0, 4), np.float32)
 
 
 def _segm_to_mask(segm, h: int, w: int) -> np.ndarray:
@@ -85,6 +92,7 @@ class YTVISDataset:
     def frame_annots(self, vid: int, frame_id: int) -> FrameAnnots:
         h, w = self.frame_size(vid)
         boxes, labels, ids, masks = [], [], [], []
+        crowd = []
         for ann in self.annots_by_vid.get(vid, []):
             segms = ann.get('segmentations')
             bboxes = ann.get('bboxes')
@@ -102,19 +110,26 @@ class YTVISDataset:
                 if xs.size == 0:
                     continue
                 box = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+            if ann.get('iscrowd', 0):
+                crowd.append(box)
+                continue
             boxes.append(box)
             labels.append(ann['category_id'])
             ids.append(ann['id'])
             masks.append(m)
+        crowd_arr = (np.asarray(crowd, np.float32) if crowd
+                     else np.zeros((0, 4), np.float32))
         if not boxes:
             return FrameAnnots(np.zeros((0, 4), np.float32),
                                np.zeros((0,), np.int32),
                                np.zeros((0,), np.int32),
-                               np.zeros((0, h, w), np.uint8))
+                               np.zeros((0, h, w), np.uint8),
+                               crowd_boxes=crowd_arr)
         return FrameAnnots(np.asarray(boxes, np.float32),
                            np.asarray(labels, np.int32),
                            np.asarray(ids, np.int32),
-                           np.stack(masks).astype(np.uint8))
+                           np.stack(masks).astype(np.uint8),
+                           crowd_boxes=crowd_arr)
 
     # ---- train clip index ------------------------------------------------
 

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from ..config import STMaskConfig
 from ..ops.boxes import decode
-from ..ops.nms import NEG_INF, cc_fast_nms
+from ..ops.masks import generate_mask
+from ..ops.nms import (NEG_INF, cc_fast_nms, fast_nms, greedy_nms_per_class)
 
 
 class Detections(NamedTuple):
@@ -31,14 +32,40 @@ class Detections(NamedTuple):
     valid: jax.Array       # [D] bool
 
 
-def detect_frame(cfg: STMaskConfig, preds: dict,
-                 priors: jax.Array) -> Detections:
-    """Decode + threshold + cc-fast-NMS for one frame.
+def rescore_maskiou(cfg: STMaskConfig, maskiou_fn, det: Detections,
+                    proto: jax.Array) -> Detections:
+    """Mask re-scoring via FastMaskIoUNet (Mask Scoring R-CNN style;
+    reference eval.py:291,467 — commented out of the reference main path,
+    available here behind ``use_maskiou`` + ``rescore_mask``/``rescore_bbox``):
+    each detection's score is multiplied by the predicted mask IoU of its
+    class."""
+    soft = generate_mask(proto, det.mask_coeff, det.box)      # [D, Hp, Wp]
+    iou_p = maskiou_fn(soft[..., None])                       # [D, C-1]
+    lbl = jnp.maximum(det.cls - 1, 0)
+    per = jnp.take_along_axis(iou_p, lbl[:, None], axis=1)[:, 0]
+    new_score = jnp.where(det.valid, det.score * per, det.score)
+    return det._replace(score=new_score)
+
+
+def detect_frame(cfg: STMaskConfig, preds: dict, priors: jax.Array,
+                 proto: jax.Array | None = None) -> Detections:
+    """Decode + threshold + NMS for one frame.
+
+    The NMS family is picked by ``cfg.eval_nms_method``:
+      * ``'cc'`` — cross-class fast NMS over score x centerness (the mAP
+        column; reference detection.py:139-187), optionally with
+        mask-IoU-blended suppression (``cfg.nms_as_miou``,
+        detection.py:154-158 — needs ``proto``);
+      * ``'per_class'`` — per-class fast NMS on raw class scores (the mAP*
+        column; detection.py:211-263);
+      * ``'greedy'`` — exact sequential per-class NMS with Cython +1-pixel
+        area semantics (detection.py:265-312).
 
     Args:
       preds: model eval outputs for a single frame (batch dim stripped):
         loc [P, 4], conf [P, C] softmaxed, mask_coeff [P, 32],
         track [P, E], centerness [P, 1].
+      proto: [Hp, Wp, 32] prototypes (only used for nms_as_miou).
     """
     loc = preds['loc']
     conf = preds['conf']
@@ -48,17 +75,48 @@ def detect_frame(cfg: STMaskConfig, preds: dict,
     conf_max = jnp.max(fg, axis=-1)
     classes = jnp.argmax(fg, axis=-1).astype(jnp.int32) + 1
     centerness = preds['centerness'][:, 0]
+    d = min(cfg.det_capacity, cfg.nms_top_k)
+    method = cfg.eval_nms_method
+
+    if method in ('per_class', 'greedy'):
+        # mAP* family: per-class raw scores, no centerness weighting
+        # (reference fast_nms / traditional_nms take `scores` untouched)
+        scores_c = fg.T                                        # [C-1, P]
+        if method == 'per_class':
+            res = fast_nms(boxes, scores_c, cfg.nms_thresh, cfg.nms_top_k,
+                           conf_thresh=cfg.nms_conf_thresh, max_dets=d)
+        else:
+            res = greedy_nms_per_class(
+                boxes, scores_c, cfg.nms_thresh, cfg.nms_conf_thresh,
+                cfg.nms_top_k, max_dets=d,
+                scale=float(max(cfg.pad_w, cfg.pad_h)))
+        idx = res.idx
+        return Detections(
+            box=boxes[idx],
+            score=res.scores,
+            cls=res.classes,
+            mask_coeff=preds['mask_coeff'][idx],
+            track=preds['track'][idx],
+            centerness=centerness[idx],
+            valid=res.valid,
+        )
 
     # conf pre-filter (TF_utils.py:71) then score-sorted NMS over
     # score x centerness (detection_TF cc_fast_nms)
     passed = conf_max > cfg.eval_conf_thresh
     nms_scores = jnp.where(passed, conf_max * centerness, NEG_INF)
-    res = cc_fast_nms(boxes, nms_scores, cfg.nms_thresh, cfg.nms_top_k)
+    mask_fn = None
+    if cfg.nms_as_miou and proto is not None:
+        def mask_fn(idx):
+            soft = generate_mask(proto, preds['mask_coeff'][idx],
+                                 boxes[idx])
+            return (soft > 0.5).astype(jnp.float32)
+    res = cc_fast_nms(boxes, nms_scores, cfg.nms_thresh, cfg.nms_top_k,
+                      mask_fn=mask_fn)
 
     # compact the NMS survivors into det_capacity slots (score-sorted);
     # >det_capacity survivors at 0.05 conf never occurs in practice and the
     # reference caps final detections at max_num_detections=100 anyway
-    d = min(cfg.det_capacity, cfg.nms_top_k)
     surv_scores = jnp.where(res.valid, res.scores, NEG_INF)
     top_s, top_i = jax.lax.top_k(surv_scores, d)
     idx = res.idx[top_i]

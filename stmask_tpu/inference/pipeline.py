@@ -23,7 +23,7 @@ import numpy as np
 from ..config import STMaskConfig
 from ..models.stmask import STMask
 from ..ops.anchors import all_priors
-from .candidates import Detections, detect_frame
+from .candidates import Detections, detect_frame, rescore_maskiou
 from .tracker import (FrameOutput, TrackState, init_state, track_step_simple,
                       track_step_tf)
 
@@ -42,8 +42,12 @@ def _make_step_fn(cfg: STMaskConfig, model: STMask, priors: jax.Array):
             'track': preds['track'][0],
             'centerness': preds['centerness'][0],
         }
-        det = detect_frame(cfg, frame_preds, priors)
         proto = preds['proto'][0]
+        det = detect_frame(cfg, frame_preds, priors, proto=proto)
+        if cfg.use_maskiou and (cfg.rescore_mask or cfg.rescore_bbox):
+            det = rescore_maskiou(
+                cfg, lambda m: model.apply(params, m, method=STMask.maskiou),
+                det, proto)
 
         if cfg.temporal_fusion_module:
             def temporal_net_fn(x):
@@ -103,14 +107,22 @@ def build_video_step_batched(cfg: STMaskConfig, model: STMask,
         preds = model.apply(params, frames.astype(param_dtype),
                             train=False)
 
-        def det_one(loc, conf, coeff, track, cent):
+        def det_one(loc, conf, coeff, track, cent, proto):
             return detect_frame(cfg, {'loc': loc, 'conf': conf,
                                       'mask_coeff': coeff, 'track': track,
-                                      'centerness': cent}, priors)
+                                      'centerness': cent}, priors,
+                                proto=proto)
 
         dets = jax.vmap(det_one)(preds['loc'], preds['conf'],
                                  preds['mask_coeff'], preds['track'],
-                                 preds['centerness'])
+                                 preds['centerness'], preds['proto'])
+        if cfg.use_maskiou and (cfg.rescore_mask or cfg.rescore_bbox):
+            def rescore_one(det, proto):
+                return rescore_maskiou(
+                    cfg,
+                    lambda m: model.apply(params, m, method=STMask.maskiou),
+                    det, proto)
+            dets = jax.vmap(rescore_one)(dets, preds['proto'])
 
         def temporal_net_fn(x):
             return model.apply(params, x, method=STMask.temporal_shift)

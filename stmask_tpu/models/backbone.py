@@ -17,15 +17,21 @@ import jax
 import jax.numpy as jnp
 
 from ..config import BackboneConfig
-from ..ops.deform_conv import dcn_v2_offsets, deform_conv2d
+from ..ops.deform_conv import (dcn_v2_offsets, deform_conv2d,
+                               deform_conv2d_window)
 from .layers import FrozenBatchNorm
 
 
 class DCNConv(nn.Module):
-    """Modulated deformable conv v2 (kernel 3x3) as in CharlesShang DCNv2."""
+    """Modulated deformable conv v2 (kernel 3x3) as in CharlesShang DCNv2.
+
+    ``window_radius > 0`` selects the window-clamped dense-shift formulation
+    (``deform_conv2d_window``) whose adjoint contains no scatter — the
+    training fast path; 0 selects the exact unclamped gather."""
     features: int
     stride: int = 1
     dilation: int = 1
+    window_radius: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -42,6 +48,10 @@ class DCNConv(nn.Module):
             'kernel', nn.initializers.he_normal(), (3, 3, x.shape[-1],
                                                     self.features))
         bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        if self.window_radius > 0:
+            return deform_conv2d_window(
+                x, offset, weight, mask=mask, bias=bias, stride=self.stride,
+                dilation=self.dilation, radius=self.window_radius)
         return deform_conv2d(x, offset, weight, mask=mask, bias=bias,
                              stride=self.stride, dilation=self.dilation)
 
@@ -53,6 +63,7 @@ class Bottleneck(nn.Module):
     use_dcn: bool = False
     has_downsample: bool = False
     dilation: int = 1
+    dcn_window_radius: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -63,7 +74,9 @@ class Bottleneck(nn.Module):
 
         if self.use_dcn:
             out = DCNConv(self.planes, stride=self.stride,
-                          dilation=self.dilation, name='conv2')(out)
+                          dilation=self.dilation,
+                          window_radius=self.dcn_window_radius,
+                          name='conv2')(out)
         else:
             out = nn.Conv(self.planes, (3, 3), strides=self.stride,
                           padding=self.dilation,
@@ -97,8 +110,12 @@ class ResNetBackbone(nn.Module):
     cfg: BackboneConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> Tuple[jax.Array, ...]:
+    def __call__(self, x: jax.Array, train: bool = False
+                 ) -> Tuple[jax.Array, ...]:
         c = self.cfg
+        # training always takes the scatter-free window path; eval opts in
+        # via dcn_window_eval (parameters are identical either way)
+        radius = c.dcn_window_radius if (train or c.dcn_window_eval) else 0
         x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                     name='conv1')(x)
         x = FrozenBatchNorm(64, name='bn1')(x)
@@ -117,6 +134,7 @@ class ResNetBackbone(nn.Module):
                 has_ds = (b == 0) and (stride != 1 or in_ch != planes * 4)
                 x = Bottleneck(planes, stride=stride, use_dcn=flags[b],
                                has_downsample=has_ds,
+                               dcn_window_radius=radius,
                                name=f'layer{s}_{b}')(x)
                 in_ch = planes * 4
             outs.append(x)

@@ -54,7 +54,9 @@ class ResNetBackboneGN(nn.Module):
     num_groups: int = 32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> Tuple[jax.Array, ...]:
+    def __call__(self, x: jax.Array, train: bool = False
+                 ) -> Tuple[jax.Array, ...]:
+        del train  # no DCN variants in the GN backbone
         c = self.cfg
         x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                     name='conv1')(x)
@@ -100,7 +102,9 @@ class DarkNetBackbone(nn.Module):
     layers: Tuple[int, ...] = (1, 2, 8, 8, 4)
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> Tuple[jax.Array, ...]:
+    def __call__(self, x: jax.Array, train: bool = False
+                 ) -> Tuple[jax.Array, ...]:
+        del train
         def conv_bn(x, ch, k, s, name):
             x = nn.Conv(ch, (k, k), strides=s, padding=(k - 1) // 2,
                         use_bias=False, name=f'{name}_conv')(x)
@@ -128,23 +132,38 @@ class VGGBackbone(nn.Module):
         (512, 512, 512))
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> Tuple[jax.Array, ...]:
+    def __call__(self, x: jax.Array, train: bool = False
+                 ) -> Tuple[jax.Array, ...]:
+        del train
         outs = []
         idx = 0
         for s, stage in enumerate(self.arch):
             if s > 0:
-                if s == len(self.arch) - 1 + 1:
-                    pass
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             for ch in stage:
                 x = nn.relu(nn.Conv(ch, (3, 3), padding=1,
                                     name=f'conv{idx}')(x))
                 idx += 1
             outs.append(x)
-        # SSD tail: pool3x3 s1 + dilated conv6 + conv7
+        # SSD tail: pool3x3 s1 + dilated fc6 + fc7 (named to avoid clashing
+        # with the stage convs' running index)
         x = nn.max_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
         x = nn.relu(nn.Conv(1024, (3, 3), padding=6, kernel_dilation=6,
-                            name='conv6')(x))
-        x = nn.relu(nn.Conv(1024, (1, 1), name='conv7')(x))
+                            name='conv_fc6')(x))
+        x = nn.relu(nn.Conv(1024, (1, 1), name='conv_fc7')(x))
         outs.append(x)
         return tuple(outs)
+
+
+def construct_backbone(cfg: BackboneConfig) -> nn.Module:
+    """Backbone dispatch keyed on the preset name (reference
+    ``backbone.py:462`` ``construct_backbone``)."""
+    from .backbone import ResNetBackbone
+    name = cfg.name.lower()
+    if 'darknet' in name:
+        return DarkNetBackbone(name='backbone')
+    if 'vgg' in name:
+        return VGGBackbone(name='backbone')
+    if 'gn' in name:
+        return ResNetBackboneGN(cfg, name='backbone')
+    return ResNetBackbone(cfg, name='backbone')

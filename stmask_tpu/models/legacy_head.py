@@ -63,8 +63,10 @@ class PredictionModule(nn.Module):
                        padding=1, name='conf_layer')(x)
         mask = nn.Conv(self.num_priors * self.mask_dim, (3, 3), padding=1,
                        name='mask_layer')(x)
+        # coefficients stay raw: tanh is applied downstream by
+        # generate_mask / the mask losses (same contract as the FC head)
         return {
             'loc': bbox.reshape(b, -1, 4),
             'conf': conf.reshape(b, -1, self.num_classes),
-            'mask_coeff': jnp.tanh(mask.reshape(b, -1, self.mask_dim)),
+            'mask_coeff': mask.reshape(b, -1, self.mask_dim),
         }

@@ -19,10 +19,12 @@ import jax.numpy as jnp
 
 from ..config import STMaskConfig
 from ..ops.correlation import correlate
-from .backbone import ResNetBackbone
+from .backbones_extra import construct_backbone
 from .fpn import FPN
 from .heads import PredictionHead
 from .layers import MakeNet
+from .legacy_head import PredictionModule
+from .maskiou import FastMaskIoUNet
 from .temporal import TemporalNet
 
 # ProtoNet spec (reference config.py:667 'mask_proto_net'):
@@ -38,25 +40,40 @@ class STMask(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.backbone = ResNetBackbone(c.backbone, name='backbone')
+        # dispatch on preset name: ResNet / ResNet-GN / DarkNet53 / VGG16
+        # (reference construct_backbone, backbone.py:462)
+        self.backbone = construct_backbone(c.backbone)
         self.fpn = FPN(c.fpn, name='fpn')
         self.proto_net = MakeNet(_PROTO_SPEC, include_last_relu=False,
                                  name='proto_net')
-        self.prediction_head = PredictionHead(c, name='prediction_head')
+        if c.head_type == 'legacy':
+            self.prediction_head = PredictionModule(
+                c.num_classes, mask_dim=c.mask_proto_n,
+                num_priors=len(c.pred_scales[0]) * 3,
+                name='prediction_head')
+        else:
+            self.prediction_head = PredictionHead(c, name='prediction_head')
         if c.temporal_fusion_module:
             self.temporal_net = TemporalNet(c.mask_proto_n,
                                             name='temporal_net')
         if c.use_semantic_segmentation_loss:
             self.semantic_seg_conv = nn.Conv(c.num_classes - 1, (1, 1),
                                              name='semantic_seg_conv')
+        if c.use_class_existence_loss:
+            # Linear on global-mean-pooled P7 (reference STMask.py:114-117)
+            self.class_existence_fc = nn.Dense(c.num_classes - 1,
+                                               name='class_existence_fc')
+        if c.use_maskiou:
+            self.maskiou_net = FastMaskIoUNet(c.num_classes,
+                                              name='maskiou_net')
 
-    def forward_single(self, x: jax.Array):
+    def forward_single(self, x: jax.Array, train: bool = False):
         """One batch of frames [B, H, W, 3] -> (fpn_outs, pred dict).
 
         Mirrors reference STMask.py:205-282.
         """
         c = self.cfg
-        bb_outs = self.backbone(x)
+        bb_outs = self.backbone(x, train=train)
         sel = [bb_outs[i] for i in c.backbone.selected_layers]
         fpn_outs = self.fpn(sel)
 
@@ -67,7 +84,9 @@ class STMask(nn.Module):
         t2s_feats = []
         for lvl, f in enumerate(fpn_outs):
             p = self.prediction_head(f)
-            t2s_feats.append(p.pop('T2S_feat'))
+            # the legacy YOLACT head carries no T2S feature; fall back to
+            # the raw FPN level so the TF plumbing stays shape-stable
+            t2s_feats.append(p.pop('T2S_feat', f))
             for k, v in p.items():
                 preds.setdefault(k, []).append(v)
 
@@ -78,14 +97,23 @@ class STMask(nn.Module):
 
     def __call__(self, x: jax.Array, train: bool = False):
         c = self.cfg
-        if c.temporal_fusion_module and self.is_initializing():
-            # touch TemporalNet so its params are created regardless of path
-            corr_ch = 2 * c.fpn.num_features + c.correlation_patch_size ** 2
-            self.temporal_net(jnp.zeros((1, 7, 7, corr_ch)))
+        if self.is_initializing():
+            # touch path-dependent submodules so their params exist
+            # regardless of which path initializes the model
+            if c.temporal_fusion_module:
+                corr_ch = (2 * c.fpn.num_features
+                           + c.correlation_patch_size ** 2)
+                self.temporal_net(jnp.zeros((1, 7, 7, corr_ch)))
+            if c.use_maskiou:
+                self.maskiou_net(jnp.zeros((1, c.pad_h // 4,
+                                            c.pad_w // 4, 1)))
+            if c.use_class_existence_loss:
+                self.class_existence_fc(
+                    jnp.zeros((1, c.fpn.num_features)))
         if train:
             b, nf, h, w, _ = x.shape
             fpn_outs, pred_outs = self.forward_single(
-                x.reshape(b * nf, h, w, 3))
+                x.reshape(b * nf, h, w, 3), train=True)
 
             if c.temporal_fusion_module:
                 # cross-frame correlation on the selected FPN level
@@ -102,9 +130,24 @@ class STMask(nn.Module):
 
             if c.use_semantic_segmentation_loss:
                 pred_outs['segm'] = self.semantic_seg_conv(fpn_outs[0])
+            if c.use_class_existence_loss:
+                # image-level class logits from mean-pooled P7
+                # (reference STMask.py:300-301)
+                pred_outs['classes'] = self.class_existence_fc(
+                    jnp.mean(fpn_outs[-1], axis=(1, 2)))
             return pred_outs
         else:
             fpn_outs, pred_outs = self.forward_single(x)
+            # the legacy head has no centerness/track branches; synthesize
+            # neutral values so the detection/tracking pipeline is uniform
+            n_anchor = pred_outs['loc'].shape[1]
+            if 'centerness' not in pred_outs:
+                pred_outs['centerness'] = jnp.ones(
+                    (x.shape[0], n_anchor, 1), jnp.float32)
+            if 'track' not in pred_outs:
+                pred_outs['track'] = jnp.full(
+                    (x.shape[0], n_anchor, c.embed_dim),
+                    1.0 / c.embed_dim ** 0.5, jnp.float32)
             # decode-side tensors in fp32 regardless of compute dtype
             for k in ('loc', 'conf', 'mask_coeff', 'track', 'centerness',
                       'proto'):
@@ -119,3 +162,8 @@ class STMask(nn.Module):
         """Run TemporalNet on RoIAligned features (used by CandidateShift
         and by the train-time track-to-segment loss)."""
         return self.temporal_net(bbox_feats)
+
+    def maskiou(self, masks: jax.Array):
+        """Run FastMaskIoUNet on [N, H, W, 1] soft masks (maskiou loss and
+        eval re-scoring; reference STMask.py:71-72)."""
+        return self.maskiou_net(masks)

@@ -56,6 +56,15 @@ def all_priors(cfg: STMaskConfig) -> np.ndarray:
     """
     per_level = []
     for lvl, (fh, fw) in enumerate(cfg.feature_shapes()):
-        per_level.append(make_priors(fh, fw, cfg.head_kernel_sizes,
-                                     cfg.pred_scales[lvl]))
+        if cfg.head_type == 'legacy':
+            # YOLACT aspect-ratio anchors for the legacy single-kernel head
+            # (reference prediction_head.py make_priors semantics)
+            from ..models.legacy_head import make_yolact_priors
+            per_level.append(make_yolact_priors(
+                fh, fw, aspect_ratios=(1.0, 0.5, 2.0),
+                scales=tuple(cfg.pred_scales[lvl]),
+                max_size=max(cfg.pad_w, cfg.pad_h)))
+        else:
+            per_level.append(make_priors(fh, fw, cfg.head_kernel_sizes,
+                                         cfg.pred_scales[lvl]))
     return np.concatenate(per_level, axis=0)

@@ -88,6 +88,93 @@ def deform_conv2d(x: jax.Array,
     return out
 
 
+def deform_conv2d_window(x: jax.Array,
+                         offset: jax.Array,
+                         weight: jax.Array,
+                         mask: Optional[jax.Array] = None,
+                         bias: Optional[jax.Array] = None,
+                         stride: int = 1,
+                         dilation: int = 1,
+                         radius: int = 2) -> jax.Array:
+    """Window-clamped deformable conv: dense static-shift formulation.
+
+    Offsets are clamped to ``[-radius, radius]`` cells, which turns the
+    bilinear gather into a weighted sum over the ``(2*radius+2)**2`` integer
+    shifts of the window — every term a static ``lax.slice`` of the padded
+    input times an elementwise hat weight ``max(0, 1 - |d - u|)``.  Both the
+    forward and (crucially) the autodiff adjoint are then fully vectorized
+    VPU code: the adjoint of a static slice is a static pad, so the training
+    backward never lowers to XLA's serialized scatter-add while-loop (the
+    3.3 s/step bottleneck of the gather formulation at batch 4).
+
+    Semantics are identical to :func:`deform_conv2d` whenever every offset
+    lies within ``[-radius, radius]`` (hat weights reproduce zero-padded
+    bilinear exactly); offsets outside are clipped — the documented TPU
+    deviation for training (reference DCNv2 is unclamped).
+
+    Args match :func:`deform_conv2d`; ``radius`` >= 1.
+    """
+    b, h, w, cin = x.shape
+    kh, kw, _, cout = weight.shape
+    k = kh * kw
+    _, ho, wo, _ = offset.shape
+    pad_h = (kh - 1) // 2 * dilation
+    pad_w = (kw - 1) // 2 * dilation
+    r = int(radius)
+    n_win = 2 * r + 2
+
+    # NOTE on adjoint cleanliness: weights are sliced per tap with
+    # ``lax.slice_in_dim`` (transpose = static pad) rather than gathered
+    # from a stacked [..,K,U] tensor (transpose = scatter-add).
+    offc = jnp.clip(offset, -r, r).astype(jnp.float32)   # [B,ho,wo,2K]
+
+    # pad so every (tap base + window corner) is a valid static slice
+    top = pad_h + r
+    left = pad_w + r
+    bot = max(0, (ho - 1) * stride - pad_h + (kh - 1) * dilation + r + 1
+              - (h - 1))
+    right = max(0, (wo - 1) * stride - pad_w + (kw - 1) * dilation + r + 1
+                - (w - 1))
+    xp = jnp.pad(x, ((0, 0), (top, bot), (left, right), (0, 0)))
+
+    def hat(d, u):
+        # zero-padded bilinear corner weight for integer corner u
+        return jnp.maximum(0.0, 1.0 - jnp.abs(d - u)).astype(x.dtype)
+
+    vals = []
+    for t in range(k):
+        i, j = t // kw, t % kw
+        dy = jax.lax.slice_in_dim(offc, 2 * t, 2 * t + 1, axis=3)
+        dx = jax.lax.slice_in_dim(offc, 2 * t + 1, 2 * t + 2, axis=3)
+        m_t = (jax.lax.slice_in_dim(mask, t, t + 1, axis=3)
+               if mask is not None else None)
+        acc = jnp.zeros((b, ho, wo, cin), x.dtype)
+        for ui in range(n_win):
+            # slice start: oy*stride - pad_h + i*dil + (ui - r) + top
+            #            = oy*stride + i*dil + ui
+            row0 = i * dilation + ui
+            inner = jnp.zeros((b, ho, wo, cin), x.dtype)
+            for vi in range(n_win):
+                col0 = j * dilation + vi
+                xs = jax.lax.slice(
+                    xp, (0, row0, col0, 0),
+                    (b, row0 + (ho - 1) * stride + 1,
+                     col0 + (wo - 1) * stride + 1, cin),
+                    (1, stride, stride, 1))
+                inner = inner + hat(dx, vi - r) * xs
+            acc = acc + hat(dy, ui - r) * inner
+        if m_t is not None:
+            acc = acc * m_t.astype(x.dtype)
+        vals.append(acc)
+
+    vals = jnp.stack(vals, axis=3).reshape(b, ho, wo, k * cin)
+    out = jnp.dot(vals, weight.reshape(k * cin, cout),
+                  preferred_element_type=jnp.float32).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(x.dtype)
+    return out
+
+
 def dcn_v2_offsets(conv_out: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     """Split a DCNv2 ``conv_offset_mask`` output [B,H,W,3K] into
     (offset [B,H,W,2K], mask [B,H,W,K]).

@@ -60,12 +60,28 @@ class MatchedTargets(NamedTuple):
 def match_batch(cfg: STMaskConfig, priors: jax.Array, preds: Dict,
                 gt: Dict) -> MatchedTargets:
     """vmap the matcher over all frames (reference multibox_loss.py:138-143)."""
-    def match_one(gt_boxes, gt_labels, gt_ids, gt_valid, conf):
-        return match(cfg.positive_iou_threshold, cfg.negative_iou_threshold,
-                     gt_boxes, gt_labels, gt_ids, gt_valid, priors, conf)
+    if 'crowd_boxes' in gt:
+        def match_one(gt_boxes, gt_labels, gt_ids, gt_valid, conf,
+                      crowd_boxes, crowd_valid):
+            return match(cfg.positive_iou_threshold,
+                         cfg.negative_iou_threshold,
+                         gt_boxes, gt_labels, gt_ids, gt_valid, priors,
+                         conf, crowd_boxes=crowd_boxes,
+                         crowd_valid=crowd_valid,
+                         crowd_iou_threshold=cfg.crowd_iou_threshold)
 
-    res = jax.vmap(match_one)(gt['boxes'], gt['labels'], gt['ids'],
-                              gt['valid'], preds['conf'])
+        res = jax.vmap(match_one)(gt['boxes'], gt['labels'], gt['ids'],
+                                  gt['valid'], preds['conf'],
+                                  gt['crowd_boxes'], gt['crowd_valid'])
+    else:
+        def match_one(gt_boxes, gt_labels, gt_ids, gt_valid, conf):
+            return match(cfg.positive_iou_threshold,
+                         cfg.negative_iou_threshold,
+                         gt_boxes, gt_labels, gt_ids, gt_valid, priors,
+                         conf)
+
+        res = jax.vmap(match_one)(gt['boxes'], gt['labels'], gt['ids'],
+                                  gt['valid'], preds['conf'])
     gt_box_t = jnp.take_along_axis(
         gt['boxes'], res.idx_t[..., None].astype(jnp.int32), axis=1)
     pos = res.conf_t > 0
@@ -77,15 +93,20 @@ def match_batch(cfg: STMaskConfig, priors: jax.Array, preds: Dict,
 
 def box_loss(cfg: STMaskConfig, priors: jax.Array, preds: Dict,
              t: MatchedTargets) -> jax.Array:
-    """DIoU box loss (multibox_loss.py:169-172) or smooth-L1."""
-    f = t.pos.shape[0]
+    """DIoU box loss (multibox_loss.py:169-172) or smooth-L1.
+
+    Normalization matches the reference exactly: per-frame-normalized
+    positive weights SUMMED over frames (no /F) — the loss scales with the
+    frame count, which is what the published lr/batch autoscaling recipe
+    (train.py:88-96) was tuned against.
+    """
     if cfg.use_boxiou_loss:
         decoded = decode(preds['loc'], priors[None])
         diou = elemwise_diou(decoded, t.gt_box_t)
         per = t.pos_w * (1.0 - diou)
-        return jnp.sum(per) * cfg.bboxiou_alpha / f
+        return jnp.sum(per) * cfg.bboxiou_alpha
     per = t.pos_w[..., None] * smooth_l1(preds['loc'], t.loc_t)
-    return jnp.sum(per) * cfg.bbox_alpha / f
+    return jnp.sum(per) * cfg.bbox_alpha
 
 
 def ohem_conf_loss(cfg: STMaskConfig, preds: Dict,
@@ -117,7 +138,7 @@ def ohem_conf_loss(cfg: STMaskConfig, preds: Dict,
                       * cfg.ohem_negpos_ratio * f, 0.0)
     weights = jnp.where(pos, w, neg_w)
     total = jnp.sum(weights * ce) / (cfg.ohem_negpos_ratio + 1)
-    return cfg.conf_alpha * total / f
+    return cfg.conf_alpha * total
 
 
 def focal_conf_sigmoid_loss(cfg: STMaskConfig, preds: Dict,
@@ -141,7 +162,8 @@ def focal_conf_sigmoid_loss(cfg: STMaskConfig, preds: Dict,
     loss = -at * (1 - pt) ** cfg.focal_loss_gamma * logpt
     loss = keep * jnp.sum(loss, axis=-1)
     denom = jnp.maximum(jnp.sum(keep), 1.0)
-    return cfg.conf_alpha * jnp.sum(loss) / denom
+    # reference: sum / keep.sum() * batch_size (multibox_loss.py:509)
+    return cfg.conf_alpha * jnp.sum(loss) / denom * f
 
 
 def focal_conf_loss(cfg: STMaskConfig, preds: Dict,
@@ -171,7 +193,7 @@ def focal_conf_loss(cfg: STMaskConfig, preds: Dict,
     at = (1 - cfg.focal_loss_alpha) * pos.astype(jnp.float32) \
         + cfg.focal_loss_alpha * neg.astype(jnp.float32)
     loss = -at * (1 - pt) ** cfg.focal_loss_gamma * logpt
-    return cfg.conf_alpha * jnp.sum(jnp.where(keep, loss, 0.0)) / f
+    return cfg.conf_alpha * jnp.sum(jnp.where(keep, loss, 0.0))
 
 
 def coeff_diversity_loss(cfg: STMaskConfig, preds: Dict,
@@ -224,7 +246,7 @@ def centerness_loss(cfg: STMaskConfig, priors: jax.Array, preds: Dict,
     decoded = decode(preds['loc'], priors[None])
     diou = elemwise_diou(decoded, t.gt_box_t)
     per = smooth_l1(preds['centerness'][..., 0], diou)
-    return cfg.center_alpha * jnp.sum(t.pos_w * per) / f
+    return cfg.center_alpha * jnp.sum(t.pos_w * per)
 
 
 def _top_pos_indices(pos: jax.Array, cap: int) -> Tuple[jax.Array, jax.Array]:
@@ -235,6 +257,25 @@ def _top_pos_indices(pos: jax.Array, cap: int) -> Tuple[jax.Array, jax.Array]:
     return idx, valid
 
 
+def _mask_pred_frame(cfg: STMaskConfig, priors: jax.Array, proto, coeff_all,
+                     loc, idx_t, pos, gmasks):
+    """Shared per-frame mask assembly for the lincomb and maskiou losses:
+    top-``masks_to_train`` positives, pred-box crop (expanded 1.2x,
+    multibox_loss.py:559-563), soft pred masks + gt targets."""
+    cap = cfg.masks_to_train
+    idx, valid = _top_pos_indices(pos, cap)
+    coeff = coeff_all[idx]                                   # [cap, 32]
+    box = decode(loc[idx], priors[idx])
+    box = jax.lax.stop_gradient(box)
+    cs = center_size(box)
+    cs = jnp.concatenate([cs[:, :2], cs[:, 2:] * 1.2], axis=1)
+    box = jnp.clip(point_form(cs), 1e-5, 1.0)
+
+    pred = generate_mask(proto, coeff, box)                  # [cap, Hp, Wp]
+    mask_t = gmasks[idx_t[idx]].astype(jnp.float32)          # [cap, Hp, Wp]
+    return idx, valid, box, pred, mask_t
+
+
 def lincomb_mask_loss(cfg: STMaskConfig, priors: jax.Array, preds: Dict,
                       t: MatchedTargets, gt_masks: jax.Array) -> jax.Array:
     """Lincomb mask BCE with pred-box crop (multibox_loss.py:544-655).
@@ -242,22 +283,11 @@ def lincomb_mask_loss(cfg: STMaskConfig, priors: jax.Array, preds: Dict,
     gt_masks: [F, G, Hp, Wp] binary masks at prototype resolution.
     """
     f = t.pos.shape[0]
-    cap = cfg.masks_to_train
     hp, wp = gt_masks.shape[2:]
 
     def per_frame(proto, coeff_all, loc, idx_t, pos, pos_w, gmasks):
-        idx, valid = _top_pos_indices(pos, cap)
-        coeff = coeff_all[idx]                                   # [cap, 32]
-        # pred box, expanded 1.2x, clamped (multibox_loss.py:559-563)
-        box = decode(loc[idx], priors[idx])
-        box = jax.lax.stop_gradient(box)
-        cs = center_size(box)
-        cs = jnp.concatenate([cs[:, :2], cs[:, 2:] * 1.2], axis=1)
-        box = jnp.clip(point_form(cs), 1e-5, 1.0)
-
-        pred = generate_mask(proto, coeff, box)                  # [cap, Hp, Wp]
-        mask_t = gmasks[idx_t[idx]].astype(jnp.float32)          # [cap, Hp, Wp]
-
+        idx, valid, box, pred, mask_t = _mask_pred_frame(
+            cfg, priors, proto, coeff_all, loc, idx_t, pos, gmasks)
         pre = _bce(pred, mask_t)
         csize = center_size(box)
         bw = jnp.maximum(csize[:, 2] * wp, 1.0)
@@ -269,7 +299,43 @@ def lincomb_mask_loss(cfg: STMaskConfig, priors: jax.Array, preds: Dict,
     per_frame_losses = jax.vmap(per_frame)(
         preds['proto'], preds['mask_coeff'], preds['loc'], t.idx_t, t.pos,
         t.pos_w, gt_masks)
-    return cfg.mask_alpha * jnp.sum(per_frame_losses) / f
+    return cfg.mask_alpha * jnp.sum(per_frame_losses)
+
+
+def maskiou_loss(cfg: STMaskConfig, maskiou_fn, priors: jax.Array,
+                 preds: Dict, t: MatchedTargets,
+                 gt_masks: jax.Array) -> jax.Array:
+    """FastMaskIoUNet training loss (reference multibox_loss.py:182-203
+    target preparation + :655-676 ``mask_iou_loss``): the subnet predicts
+    per-class mask IoU of each assembled soft mask vs its gt; smooth-L1 on
+    the gt-class channel, samples with tiny downsampled-gt area discarded
+    (``discard_mask_area``)."""
+    f = t.pos.shape[0]
+
+    def per_frame(proto, coeff_all, loc, conf_t, idx_t, pos, gmasks):
+        idx, valid, box, pred, mask_t = _mask_pred_frame(
+            cfg, priors, proto, coeff_all, loc, idx_t, pos, gmasks)
+        pred = jax.lax.stop_gradient(pred)
+        pred_bin = (pred > 0.5).astype(jnp.float32)
+        inter = jnp.sum(pred_bin * mask_t, axis=(1, 2))
+        area_p = jnp.sum(pred_bin, axis=(1, 2))
+        area_g = jnp.sum(mask_t, axis=(1, 2))
+        iou_t = inter / jnp.maximum(area_p + area_g - inter, 1e-6)
+        keep = valid & (area_g > cfg.discard_mask_area)
+        labels = conf_t[idx]                                 # [cap]
+        return pred, iou_t, labels, keep
+
+    pred, iou_t, labels, keep = jax.vmap(per_frame)(
+        preds['proto'], preds['mask_coeff'], preds['loc'], t.conf_t,
+        t.idx_t, t.pos, gt_masks)
+    n, hp, wp = pred.shape[1], pred.shape[2], pred.shape[3]
+    inputs = pred.reshape(f * n, hp, wp, 1)
+    iou_p = maskiou_fn(inputs)                               # [F*cap, C-1]
+    lbl = jnp.maximum(labels.reshape(-1) - 1, 0)
+    iou_p = jnp.take_along_axis(iou_p, lbl[:, None], axis=1)[:, 0]
+    per = smooth_l1(iou_p, iou_t.reshape(-1))
+    return cfg.maskiou_alpha * jnp.sum(
+        jnp.where(keep.reshape(-1), per, 0.0))
 
 
 def track_loss(cfg: STMaskConfig, preds: Dict, t: MatchedTargets) -> jax.Array:
@@ -406,12 +472,12 @@ def semantic_segmentation_loss(cfg: STMaskConfig, segm: jax.Array,
     seg_t = jnp.minimum(seg_t, 1.0)
     loss = jnp.maximum(segm, 0) - segm * seg_t + \
         jnp.log1p(jnp.exp(-jnp.abs(segm)))
-    return jnp.sum(loss) / h3 / w3 * cfg.semantic_segmentation_alpha / f
+    return jnp.sum(loss) / h3 / w3 * cfg.semantic_segmentation_alpha
 
 
 def compute_losses(cfg: STMaskConfig, preds: Dict, gt: Dict,
-                   priors: jax.Array, temporal_net_fn=None
-                   ) -> Dict[str, jax.Array]:
+                   priors: jax.Array, temporal_net_fn=None,
+                   maskiou_fn=None) -> Dict[str, jax.Array]:
     """All training losses for one flattened frame batch.
 
     Args:
@@ -434,6 +500,13 @@ def compute_losses(cfg: STMaskConfig, preds: Dict, gt: Dict,
     if cfg.train_masks:
         losses['M'] = lincomb_mask_loss(cfg, priors, preds, t,
                                         gt['masks_proto'])
+    if cfg.use_maskiou and maskiou_fn is not None:
+        losses['I'] = maskiou_loss(cfg, maskiou_fn, priors, preds, t,
+                                   gt['masks_proto'])
+    if cfg.use_class_existence_loss and 'classes' in preds:
+        losses['E'] = class_existence_loss(
+            cfg, preds['classes'], gt['labels'], gt['valid'],
+            alpha=cfg.class_existence_alpha)
     if cfg.train_track:
         losses['T'] = track_loss(cfg, preds, t)
     if cfg.temporal_fusion_module and temporal_net_fn is not None:

@@ -93,11 +93,20 @@ def build_train_step(cfg: STMaskConfig, model: STMask,
         }
         if 'masks_p3' in batch:
             gt['masks_p3'] = flatten(batch['masks_p3'])
+        if 'crowd_boxes' in batch:
+            gt['crowd_boxes'] = flatten(batch['crowd_boxes'])
+            gt['crowd_valid'] = flatten(batch['crowd_valid'])
 
         def temporal_net_fn(x):
             return model.apply(params, x, method=STMask.temporal_shift)
 
-        losses = compute_losses(cfg, preds, gt, priors, temporal_net_fn)
+        maskiou_fn = None
+        if cfg.use_maskiou:
+            def maskiou_fn(x):
+                return model.apply(params, x, method=STMask.maskiou)
+
+        losses = compute_losses(cfg, preds, gt, priors, temporal_net_fn,
+                                maskiou_fn=maskiou_fn)
         total = sum(losses.values())
         return total, losses
 

@@ -152,3 +152,197 @@ def test_coeff_diversity_loss_runs():
     t = L.match_batch(CFG, priors, preds, gt)
     loss = float(L.coeff_diversity_loss(CFG, preds, t))
     assert np.isfinite(loss)
+
+
+def test_ohem_and_centerness_match_reference_torch_at_batch8():
+    """VERDICT #6: the reference's OHEM conf + centerness normalization
+    (multibox_loss.py:428-457 — per-image pos weights, neg_weights
+    1/num_neg*ratio*F, sum / (ratio+1), NO /F) reproduced in torch from
+    scratch must equal ours bit-for-bit on identical random logits/targets
+    at batch 8 (F=16 frames)."""
+    import pytest
+    torch = pytest.importorskip('torch')
+    rng = np.random.RandomState(42)
+    f, p, c = 16, 120, CFG.num_classes
+    conf = rng.randn(f, p, c).astype(np.float32)
+    # targets: ~5 positives/frame, a few neutrals, rest background
+    conf_t = np.zeros((f, p), np.int32)
+    for i in range(f):
+        pos_idx = rng.choice(p, 5, replace=False)
+        conf_t[i, pos_idx] = rng.randint(1, c, 5)
+        neu = rng.choice(np.setdiff1d(np.arange(p), pos_idx), 3,
+                         replace=False)
+        conf_t[i, neu] = -1
+
+    # ---- reference computation in torch (from the written equations) ----
+    tc = torch.from_numpy(conf).reshape(-1, c)
+    tt = torch.from_numpy(conf_t).reshape(-1).long()
+    pos = tt > 0
+    neu = tt < 0
+    loss_c = torch.logsumexp(tc, dim=-1) - tc[:, 0]
+    loss_c[pos] = 0
+    loss_c[neu] = 0
+    num_pos = int(pos.sum())
+    ratio = CFG.ohem_negpos_ratio
+    num_neg = min(ratio * num_pos, f * p - 1)
+    _, idx = loss_c.sort(descending=True)
+    neg = torch.zeros_like(tt, dtype=torch.bool)
+    neg[idx[:num_neg]] = True
+    neg[pos] = False
+    neg[neu] = False
+    # per-frame pos weights
+    posw = torch.zeros(f * p)
+    for i in range(f):
+        sl = slice(i * p, (i + 1) * p)
+        n_i = int((tt[sl] > 0).sum())
+        posw[sl][tt[sl] > 0] = 1.0 / max(n_i, 1)
+    negw = torch.zeros(f * p)
+    negw[neg] = 1.0 / max(int(neg.sum()), 1) * ratio * f
+    w = torch.where(pos, posw, negw)
+    ce = torch.nn.functional.cross_entropy(
+        tc, tt.clamp(min=0), reduction='none')
+    ce = torch.where(pos | neg, ce, torch.zeros(()))
+    ref_c = CFG.conf_alpha * float((w * ce).sum()) / (ratio + 1)
+
+    # ---- ours ----
+    pos_np = conf_t > 0
+    n_pos = pos_np.sum(1, keepdims=True)
+    pos_w = pos_np.astype(np.float32) / np.maximum(n_pos, 1)
+    t = L.MatchedTargets(
+        loc_t=jnp.zeros((f, p, 4)), conf_t=jnp.asarray(conf_t),
+        idx_t=jnp.zeros((f, p), jnp.int32),
+        ids_t=jnp.zeros((f, p), jnp.int32),
+        gt_box_t=jnp.zeros((f, p, 4)), pos=jnp.asarray(pos_np),
+        pos_w=jnp.asarray(pos_w))
+    got_c = float(L.ohem_conf_loss(CFG, {'conf': jnp.asarray(conf)}, t))
+    np.testing.assert_allclose(got_c, ref_c, rtol=2e-5)
+
+    # ---- centerness: same sum-with-pos-weights, no /F ----
+    centerness = np.tanh(rng.randn(f, p, 1)).astype(np.float32)
+    loc = (rng.randn(f, p, 4) * 0.1).astype(np.float32)
+    priors_f = np.tile(P[:1], (p, 1)).astype(np.float32)
+    gt_box = np.tile(np.asarray([[0.2, 0.2, 0.7, 0.8]], np.float32),
+                     (f, p, 1))
+    t2 = t._replace(gt_box_t=jnp.asarray(gt_box))
+    got_cn = float(L.centerness_loss(
+        CFG, jnp.asarray(priors_f),
+        {'loc': jnp.asarray(loc), 'centerness': jnp.asarray(centerness)},
+        t2))
+    # reference: center_alpha * sum(pos_w * smooth_l1(centerness, DIoU))
+    diou = np.asarray(B.elemwise_diou(
+        B.decode(jnp.asarray(loc), jnp.asarray(priors_f)[None]),
+        jnp.asarray(gt_box)))
+    d = np.abs(centerness[..., 0] - diou)
+    sl1 = np.where(d < 1, 0.5 * d * d, d - 0.5)
+    ref_cn = CFG.center_alpha * float((pos_w * sl1).sum())
+    np.testing.assert_allclose(got_cn, ref_cn, rtol=2e-5)
+
+
+def test_losses_scale_linearly_with_frames():
+    """The sum normalization means doubling the batch doubles C/B/M/center
+    (which the reference's lr-per-batch autoscaling assumes)."""
+    rng = np.random.RandomState(0)
+    gt = _gt(rng)
+    preds = _preds(rng)
+    pj = jnp.asarray(P)
+    t1 = L.match_batch(CFG, pj, preds, gt)
+
+    gt2 = {k: jnp.concatenate([v, v]) for k, v in gt.items()}
+    preds2 = {k: jnp.concatenate([v, v]) for k, v in preds.items()}
+    t2 = L.match_batch(CFG, pj, preds2, gt2)
+
+    for fn, args1, args2 in [
+        (L.box_loss, (CFG, pj, preds, t1), (CFG, pj, preds2, t2)),
+        (L.ohem_conf_loss, (CFG, preds, t1), (CFG, preds2, t2)),
+        (L.centerness_loss, (CFG, pj, preds, t1), (CFG, pj, preds2, t2)),
+        (L.lincomb_mask_loss, (CFG, pj, preds, t1, gt['masks_proto']),
+         (CFG, pj, preds2, t2, gt2['masks_proto'])),
+    ]:
+        a = float(fn(*args1))
+        b = float(fn(*args2))
+        np.testing.assert_allclose(b, 2 * a, rtol=1e-4,
+                                   err_msg=fn.__name__)
+
+
+def test_crowd_neutralizes_negative_anchor_end_to_end():
+    """VERDICT #7: a negative anchor overlapping an iscrowd region (IoA >
+    crowd_iou_threshold) must become neutral (conf_t == -1) when crowds are
+    plumbed through match_batch via the gt dict."""
+    rng = np.random.RandomState(1)
+    gt = dict(_gt(rng))
+    preds = _preds(rng)
+    pj = jnp.asarray(P)
+
+    # crowd region covering a far corner where no gt lives
+    gc = 3
+    crowd = np.zeros((F, gc, 4), np.float32)
+    crowd_valid = np.zeros((F, gc), bool)
+    crowd[:, 0] = [0.55, 0.55, 1.0, 1.0]
+    crowd_valid[:, 0] = True
+    gt['crowd_boxes'] = jnp.asarray(crowd)
+    gt['crowd_valid'] = jnp.asarray(crowd_valid)
+
+    t_with = L.match_batch(CFG, pj, preds, gt)
+    gt_no = {k: v for k, v in gt.items()
+             if k not in ('crowd_boxes', 'crowd_valid')}
+    t_without = L.match_batch(CFG, pj, preds, gt_no)
+
+    ct_w = np.asarray(t_with.conf_t)
+    ct_wo = np.asarray(t_without.conf_t)
+    # anchors whose IoA with the crowd exceeds the threshold
+    from stmask_tpu.ops.boxes import jaccard, point_form
+    pf = point_form(pj)
+    ioa = np.asarray(jaccard(pf, jnp.asarray(crowd[0, :1]),
+                             iscrowd=True))[:, 0]
+    inside = ioa > CFG.crowd_iou_threshold
+    changed = inside & (ct_wo[0] == 0)
+    assert changed.any(), 'fixture broken: no negative anchor in crowd'
+    assert np.all(ct_w[0][changed] == -1), \
+        'crowd-overlapping negatives must be neutral'
+    # positives unaffected
+    pos = ct_wo[0] > 0
+    np.testing.assert_array_equal(ct_w[0][pos], ct_wo[0][pos])
+
+
+def test_loader_emits_crowd_keys(tmp_path):
+    """The YTVIS loader routes iscrowd annotations into padded crowd_boxes/
+    crowd_valid batch keys (never as trainable gt)."""
+    import json as _json
+    import cv2
+    from stmask_tpu.data import ClipLoader, YTVISDataset
+    vid_dir = tmp_path / 'v'
+    vid_dir.mkdir()
+    for f in range(2):
+        cv2.imwrite(str(vid_dir / f'{f}.jpg'),
+                    np.zeros((90, 160, 3), np.uint8))
+    ann = {
+        'videos': [{'id': 1, 'height': 90, 'width': 160,
+                    'file_names': ['v/0.jpg', 'v/1.jpg']}],
+        'categories': [{'id': 1, 'name': 'thing'}],
+        'annotations': [
+            {'id': 1, 'video_id': 1, 'category_id': 1,
+             'bboxes': [[10, 10, 50, 40]] * 2,
+             'segmentations': [None] * 2, 'iscrowd': 0},
+            {'id': 2, 'video_id': 1, 'category_id': 1,
+             'bboxes': [[100, 50, 50, 30]] * 2,
+             'segmentations': [None] * 2, 'iscrowd': 1},
+        ],
+    }
+    # give the non-crowd annotation a real mask so train_index includes it
+    ann['annotations'][0]['segmentations'] = [
+        {'size': [90, 160], 'counts': None}, None]
+    # simpler: polygon masks
+    ann['annotations'][0]['segmentations'] = [
+        [[10, 10, 60, 10, 60, 50, 10, 50]]] * 2
+    af = tmp_path / 'ann.json'
+    af.write_text(_json.dumps(ann))
+
+    cfg = CFG.replace(img_w=128, img_h=96)
+    ds = YTVISDataset(str(af), str(tmp_path))
+    loader = ClipLoader(cfg, ds, batch_size=1, num_workers=1)
+    batch = next(iter(loader.epoch(0)))
+    assert batch['crowd_boxes'].shape == (1, 2, cfg.crowd_capacity, 4)
+    assert batch['crowd_valid'][0, 0, 0]           # the crowd region
+    assert not batch['crowd_valid'][0, 0, 1:].any()
+    # the crowd is not in the trainable gt
+    assert batch['valid'][0, 0].sum() == 1

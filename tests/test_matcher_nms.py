@@ -164,3 +164,141 @@ def test_greedy_nms_exact():
     expected_c = iou_ac <= 0.5
     assert keep[0] and not keep[1] and keep[3]
     assert keep[2] == expected_c
+
+
+# ---- eval NMS-family wiring (mAP vs mAP* paths) ----
+
+def _multiclass_fixture():
+    """Two overlapping objects of different classes + one duplicate box.
+
+    Under cc NMS the cross-class duplicate suppresses the weaker class;
+    under per-class NMS both classes survive — so per_class must keep >= as
+    many detections (the reference's mAP vs mAP* distinction)."""
+    import numpy as np
+    boxes = np.array([
+        [0.10, 0.10, 0.40, 0.40],   # object A, class 1
+        [0.12, 0.11, 0.41, 0.42],   # same region, class 2 (high overlap)
+        [0.60, 0.55, 0.90, 0.92],   # object B, class 2
+    ], np.float32)
+    # per-class fg scores [C-1=3, P=3]
+    scores = np.array([
+        [0.90, 0.10, 0.05],
+        [0.20, 0.85, 0.80],
+        [0.02, 0.02, 0.03],
+    ], np.float32)
+    return boxes, scores
+
+
+def test_per_class_keeps_cross_class_duplicates():
+    import jax.numpy as jnp
+    from stmask_tpu.ops.nms import cc_fast_nms, fast_nms, NEG_INF
+    boxes, scores = _multiclass_fixture()
+    bj = jnp.asarray(boxes)
+    # cc: one score per prior (max over classes)
+    cc_scores = jnp.asarray(scores.max(0))
+    cc = cc_fast_nms(bj, cc_scores, 0.5, top_k=3)
+    n_cc = int(np.sum(np.asarray(cc.valid)))
+    pc = fast_nms(bj, jnp.asarray(scores), 0.5, top_k=3, conf_thresh=0.05,
+                  max_dets=8)
+    n_pc = int(np.sum(np.asarray(pc.valid)))
+    assert n_cc == 2          # duplicate suppressed cross-class
+    assert n_pc == 3          # kept per class
+    assert n_pc >= n_cc
+    kept_classes = sorted(np.asarray(pc.classes)[np.asarray(pc.valid)])
+    assert kept_classes == [1, 2, 2]
+
+
+def test_greedy_per_class_matches_fast_on_separated_boxes():
+    import jax.numpy as jnp
+    from stmask_tpu.ops.nms import fast_nms, greedy_nms_per_class
+    boxes, scores = _multiclass_fixture()
+    f = fast_nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, top_k=3,
+                 conf_thresh=0.05, max_dets=8)
+    g = greedy_nms_per_class(jnp.asarray(boxes), jnp.asarray(scores), 0.5,
+                             conf_thresh=0.05, top_k=3, max_dets=8,
+                             scale=640.0)
+    fv, gv = np.asarray(f.valid), np.asarray(g.valid)
+    assert int(fv.sum()) == int(gv.sum())
+    np.testing.assert_array_equal(np.asarray(f.idx)[fv],
+                                  np.asarray(g.idx)[gv])
+    np.testing.assert_array_equal(np.asarray(f.classes)[fv],
+                                  np.asarray(g.classes)[gv])
+
+
+def test_greedy_per_class_sequential_semantics():
+    """Chain A-B-C where B overlaps both: greedy keeps C (B was suppressed
+    by A, so C survives); fast-NMS suppresses C too (B still kills it)."""
+    import jax.numpy as jnp
+    from stmask_tpu.ops.nms import fast_nms, greedy_nms_per_class
+    # iou(A,B) = iou(B,C) = 0.25/0.75 = 1/3 > 0.3; iou(A,C) ~ 0
+    boxes = np.array([
+        [0.0, 0.0, 0.50, 1.0],
+        [0.25, 0.0, 0.75, 1.0],
+        [0.50, 0.0, 1.00, 1.0],
+    ], np.float32)
+    scores = np.array([[0.9, 0.8, 0.7]], np.float32)
+    f = fast_nms(jnp.asarray(boxes), jnp.asarray(scores), 0.3, top_k=3,
+                 conf_thresh=0.05, max_dets=4)
+    g = greedy_nms_per_class(jnp.asarray(boxes), jnp.asarray(scores), 0.3,
+                             conf_thresh=0.05, top_k=3, max_dets=4,
+                             scale=640.0)
+    assert int(np.asarray(f.valid).sum()) == 1   # fast: B kills C too
+    assert int(np.asarray(g.valid).sum()) == 2   # greedy: A keeps, B out,
+    kept = sorted(np.asarray(g.idx)[np.asarray(g.valid)])
+    assert kept == [0, 2]                        # ...C back in
+
+
+def test_detect_frame_nms_method_dispatch():
+    """detect_frame honors cfg.eval_nms_method and the per-class path
+    yields >= as many valid detections on a multi-class fixture."""
+    import jax.numpy as jnp
+    from stmask_tpu.config import get_config
+    from stmask_tpu.inference.candidates import detect_frame
+    from stmask_tpu.ops.boxes import encode
+
+    cfg = get_config('STMask_resnet50').replace(img_w=128, img_h=96)
+    boxes, scores = _multiclass_fixture()
+    p = 40
+    priors = np.tile(np.array([[0.5, 0.5, 0.5, 0.5]], np.float32), (p, 1))
+    conf = np.zeros((p, cfg.num_classes), np.float32)
+    conf[:, 0] = 1.0
+    loc = np.zeros((p, 4), np.float32)
+    for i in range(3):
+        loc[i] = np.asarray(encode(jnp.asarray(boxes[i:i + 1]),
+                                   jnp.asarray(priors[i:i + 1])))[0]
+        conf[i, 0] = 0.0
+        conf[i, 1:4] = scores[:, i]
+    preds = {
+        'loc': jnp.asarray(loc), 'conf': jnp.asarray(conf),
+        'mask_coeff': jnp.zeros((p, 32)),
+        'track': jnp.ones((p, cfg.embed_dim)) / np.sqrt(cfg.embed_dim),
+        'centerness': jnp.ones((p, 1)),
+    }
+    det_cc = detect_frame(cfg, preds, jnp.asarray(priors))
+    det_pc = detect_frame(cfg.replace(eval_nms_method='per_class'), preds,
+                          jnp.asarray(priors))
+    det_gr = detect_frame(cfg.replace(eval_nms_method='greedy'), preds,
+                          jnp.asarray(priors))
+    n_cc = int(np.asarray(det_cc.valid).sum())
+    n_pc = int(np.asarray(det_pc.valid).sum())
+    n_gr = int(np.asarray(det_gr.valid).sum())
+    assert n_cc == 2 and n_pc == 3 and n_gr == 3
+    assert n_pc >= n_cc
+
+
+def test_cc_nms_as_miou_blending():
+    """Identical boxes but disjoint masks: plain cc suppresses the second,
+    miou-blended NMS keeps it (blended overlap 0.5*(1+0) = 0.5 <= thresh)."""
+    import jax.numpy as jnp
+    from stmask_tpu.ops.nms import cc_fast_nms
+    boxes = jnp.asarray(np.array([[0.1, 0.1, 0.9, 0.9],
+                                  [0.1, 0.1, 0.9, 0.9]], np.float32))
+    scores = jnp.asarray(np.array([0.9, 0.8], np.float32))
+    masks = np.zeros((2, 8, 8), np.float32)
+    masks[0, :, :4] = 1.0
+    masks[1, :, 4:] = 1.0
+    plain = cc_fast_nms(boxes, scores, 0.5, top_k=2)
+    blended = cc_fast_nms(boxes, scores, 0.5, top_k=2,
+                          mask_fn=lambda idx: jnp.asarray(masks)[idx])
+    assert int(np.asarray(plain.valid).sum()) == 1
+    assert int(np.asarray(blended.valid).sum()) == 2

@@ -236,3 +236,101 @@ def test_roi_align_gradient_map():
     out = np.asarray(roi_align(jnp.asarray(ramp), rois, pool_size=4))[0, 0, :, 0]
     # bin centers at x = 4 - 0.5 + (i + 0.5) * 2 -> 4.5, 6.5, 8.5, 10.5
     np.testing.assert_allclose(out, [4.5, 6.5, 8.5, 10.5], atol=1e-5)
+
+
+# ---- window-clamped dense formulation (training fast path) ----
+
+def _rand_case(rng, b=2, h=9, w=10, cin=4, cout=5, kh=3, kw=3, scale=1.5):
+    k = kh * kw
+    x = rng.randn(b, h, w, cin).astype(np.float32)
+    wt = rng.randn(kh, kw, cin, cout).astype(np.float32)
+    off = (rng.randn(b, h, w, 2 * k) * scale).astype(np.float32)
+    m = rng.rand(b, h, w, k).astype(np.float32)
+    bias = rng.randn(cout).astype(np.float32)
+    return x, off, wt, m, bias
+
+
+def test_deform_conv_window_matches_exact_in_range():
+    from stmask_tpu.ops.deform_conv import deform_conv2d_window
+    rng = np.random.RandomState(7)
+    x, off, wt, m, bias = _rand_case(rng, scale=1.5)
+    off = np.clip(off, -2, 2)  # inside the window: formulations must agree
+    args = [jnp.asarray(a) for a in (x, off, wt)]
+    exact = deform_conv2d(*args, mask=jnp.asarray(m), bias=jnp.asarray(bias))
+    win = deform_conv2d_window(*args, mask=jnp.asarray(m),
+                               bias=jnp.asarray(bias), radius=2)
+    np.testing.assert_allclose(np.asarray(win), np.asarray(exact), atol=1e-4)
+
+
+def test_deform_conv_window_stride_dilation_rect():
+    from stmask_tpu.ops.deform_conv import deform_conv2d_window
+    rng = np.random.RandomState(8)
+    # rectangular 3x5 kernel, v1 (no mask)
+    x = rng.randn(1, 8, 12, 3).astype(np.float32)
+    wt = rng.randn(3, 5, 3, 4).astype(np.float32)
+    off = np.clip(rng.randn(1, 8, 12, 30) * 1.2, -2, 2).astype(np.float32)
+    exact = deform_conv2d(jnp.asarray(x), jnp.asarray(off), jnp.asarray(wt))
+    win = deform_conv2d_window(jnp.asarray(x), jnp.asarray(off),
+                               jnp.asarray(wt), radius=2)
+    np.testing.assert_allclose(np.asarray(win), np.asarray(exact), atol=1e-4)
+    # stride 2 + dilation 2
+    off2 = np.clip(rng.randn(1, 4, 6, 18), -1, 1).astype(np.float32)
+    wt2 = rng.randn(3, 3, 3, 4).astype(np.float32)
+    exact2 = deform_conv2d(jnp.asarray(x), jnp.asarray(off2),
+                           jnp.asarray(wt2), stride=2, dilation=2)
+    win2 = deform_conv2d_window(jnp.asarray(x), jnp.asarray(off2),
+                                jnp.asarray(wt2), stride=2, dilation=2,
+                                radius=1)
+    np.testing.assert_allclose(np.asarray(win2), np.asarray(exact2),
+                               atol=1e-4)
+
+
+def test_deform_conv_window_clamps_large_offsets():
+    from stmask_tpu.ops.deform_conv import deform_conv2d_window
+    rng = np.random.RandomState(9)
+    x, off, wt, m, bias = _rand_case(rng, scale=5.0)  # many out of range
+    clipped = np.clip(off, -2, 2)
+    a = deform_conv2d_window(jnp.asarray(x), jnp.asarray(off),
+                             jnp.asarray(wt), radius=2)
+    b = deform_conv2d(jnp.asarray(x), jnp.asarray(clipped), jnp.asarray(wt))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_deform_conv_window_gradients_match_exact():
+    from stmask_tpu.ops.deform_conv import deform_conv2d_window
+    rng = np.random.RandomState(10)
+    x, off, wt, m, _ = _rand_case(rng, b=1, h=6, w=7, cin=3, cout=2)
+    # keep offsets strictly inside the clamp so grads are comparable
+    off = np.clip(off, -1.6, 1.6)
+
+    def loss_exact(x_, off_, wt_, m_):
+        return jnp.sum(deform_conv2d(x_, off_, wt_, mask=m_) ** 2)
+
+    def loss_win(x_, off_, wt_, m_):
+        return jnp.sum(
+            deform_conv2d_window(x_, off_, wt_, mask=m_, radius=2) ** 2)
+
+    args = tuple(jnp.asarray(a) for a in (x, off, wt, m))
+    g_exact = jax.grad(loss_exact, argnums=(0, 1, 2, 3))(*args)
+    g_win = jax.grad(loss_win, argnums=(0, 1, 2, 3))(*args)
+    for ge, gw, name in zip(g_exact, g_win, ('x', 'offset', 'weight',
+                                             'mask')):
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(ge),
+                                   atol=2e-3, err_msg=name)
+
+
+def test_deform_conv_window_backward_has_no_scatter_loop():
+    """The point of the window formulation: the train-time adjoint must not
+    contain a while-loop (XLA's serialized scatter-add fallback)."""
+    from stmask_tpu.ops.deform_conv import deform_conv2d_window
+    rng = np.random.RandomState(11)
+    x, off, wt, m, _ = _rand_case(rng)
+
+    def loss(x_, off_, wt_, m_):
+        return jnp.sum(
+            deform_conv2d_window(x_, off_, wt_, mask=m_, radius=2) ** 2)
+
+    hlo = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3))).lower(
+        *[jnp.asarray(a) for a in (x, off, wt, m)]).as_text()
+    assert 'while' not in hlo, 'window adjoint lowered to a while loop'
+    assert 'scatter' not in hlo, 'window adjoint lowered to scatter'
