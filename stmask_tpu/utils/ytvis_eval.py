@@ -23,9 +23,11 @@ REC_THRS = np.linspace(0.0, 1.0, 101)
 
 
 def _track_iou(track_a: List[Optional[dict]],
-               track_b: List[Optional[dict]]) -> float:
+               track_b: List[Optional[dict]],
+               iscrowd: bool = False) -> float:
     """Spatio-temporal IoU of two RLE tracks (lists per frame, None = no
-    mask that frame)."""
+    mask that frame).  ``iscrowd``: track_b is a crowd region — the union is
+    just track_a's area (cocoapi crowd IoU semantics)."""
     n = max(len(track_a), len(track_b))
     inter = 0.0
     union = 0.0
@@ -35,7 +37,8 @@ def _track_iou(track_a: List[Optional[dict]],
         if a is None and b is None:
             continue
         if a is None:
-            union += rle_util.area(b)
+            if not iscrowd:
+                union += rle_util.area(b)
             continue
         if b is None:
             union += rle_util.area(a)
@@ -43,9 +46,8 @@ def _track_iou(track_a: List[Optional[dict]],
         ma = rle_util.decode(a).astype(bool)
         mb = rle_util.decode(b).astype(bool)
         i = np.logical_and(ma, mb).sum()
-        u = np.logical_or(ma, mb).sum()
         inter += i
-        union += u
+        union += ma.sum() if iscrowd else np.logical_or(ma, mb).sum()
     return inter / union if union > 0 else 0.0
 
 
@@ -86,39 +88,56 @@ def evaluate_ytvis(gt_json, dt_json, max_dets: int = 100) -> Dict[str, float]:
     ap_per_cat = []
     ar_per_cat = []
     for cat in cat_ids:
-        # gather per-video matches
+        # gather per-video matches (cocoeval evaluateImg semantics with
+        # iscrowd gts ignored: they can absorb detections without counting
+        # as TP or FP, and never count toward n_gt)
         scores_all = []
         matched_all = []   # [t, n_dets] bools aligned with scores
+        ignored_all = []   # [t, n_dets] det matched an ignored (crowd) gt
         n_gt = 0
         for vid in vid_ids:
             gts = [a for a in gt_by_vid.get(vid, [])
                    if a['category_id'] == cat]
+            # sort non-ignored gt first (cocoeval gtind order)
+            gts = sorted(gts, key=lambda g: bool(g.get('iscrowd', 0)))
+            gt_ig = np.asarray([bool(g.get('iscrowd', 0)) for g in gts])
             dts = sorted([d for d in dt_by_vid.get(vid, [])
                           if d['category_id'] == cat],
                          key=lambda d: -d['score'])[:max_dets]
-            n_gt += len(gts)
+            n_gt += int((~gt_ig).sum()) if len(gts) else 0
             if not dts:
                 continue
             iou = np.zeros((len(dts), len(gts)))
             for i, d in enumerate(dts):
                 for j, g in enumerate(gts):
                     iou[i, j] = _track_iou(d['segmentations'],
-                                           g['segmentations'])
+                                           g['segmentations'],
+                                           iscrowd=bool(gt_ig[j]))
             matched = np.zeros((t, len(dts)), bool)
+            ignored = np.zeros((t, len(dts)), bool)
             for ti, thr in enumerate(IOU_THRS):
                 used = np.zeros(len(gts), bool)
                 for i in range(len(dts)):
-                    best, bj = thr, -1
+                    best, bj = min(thr, 1 - 1e-10), -1
                     for j in range(len(gts)):
-                        if used[j]:
+                        # crowd gts may be matched repeatedly
+                        if used[j] and not gt_ig[j]:
                             continue
+                        # once matched to a real gt, never trade it for an
+                        # ignored one (gts are sorted non-ignored first)
+                        if bj >= 0 and not gt_ig[bj] and gt_ig[j]:
+                            break
                         if iou[i, j] >= best:
                             best, bj = iou[i, j], j
                     if bj >= 0:
                         used[bj] = True
-                        matched[ti, i] = True
+                        if gt_ig[bj]:
+                            ignored[ti, i] = True
+                        else:
+                            matched[ti, i] = True
             scores_all.extend(d['score'] for d in dts)
             matched_all.append(matched)
+            ignored_all.append(ignored)
 
         if n_gt == 0:
             continue
@@ -129,11 +148,13 @@ def evaluate_ytvis(gt_json, dt_json, max_dets: int = 100) -> Dict[str, float]:
 
         scores = np.asarray(scores_all)
         matched = np.concatenate(matched_all, axis=1)
+        ignored = np.concatenate(ignored_all, axis=1)
         order = np.argsort(-scores, kind='mergesort')
         matched = matched[:, order]
+        ignored = ignored[:, order]
 
         tp = np.cumsum(matched, axis=1)
-        fp = np.cumsum(~matched, axis=1)
+        fp = np.cumsum(~matched & ~ignored, axis=1)
         rec = tp / n_gt
         prec = tp / np.maximum(tp + fp, 1e-12)
 
