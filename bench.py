@@ -6,12 +6,18 @@ shift + tracking) of the flagship config (STMask_plus_resnet50 = R50-DCN-FPN
 the reference benchmark protocol (``eval.py --benchmark``; baseline 29.3 FPS
 on a RTX 2080 Ti, README.md:102).
 
+``--e2e`` instead benchmarks the full batched eval driver on an on-disk
+synthetic JPEG video set — decode + preprocess + device + postprocess + RLE
+(what the reference's ``eval.py --benchmark`` walltime actually covered).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import os
 import time
 
 import jax
@@ -76,5 +82,45 @@ def main():
     }))
 
 
+def main_e2e(batch_videos: int, chunk_frames: int = 10,
+             n_videos: int = 16, n_frames: int = 32):
+    """End-to-end eval-driver FPS on an on-disk synthetic video set
+    (JPEG decode -> preprocess -> device step -> postprocess -> RLE)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), 'scripts'))
+    import eval as eval_script
+    from overfit_sanity import make_dataset
+
+    root = f'/tmp/stmask_bench_videos_{n_videos}x{n_frames}'
+    ann_file = os.path.join(root, 'train.json')
+    if not os.path.exists(ann_file):
+        make_dataset(root, n_videos=n_videos, n_frames=n_frames,
+                     h=360, w=640)
+    args = eval_script.parse_args([
+        '--ann_file', ann_file, '--img_prefix', os.path.join(root, 'imgs'),
+        '--batch_videos', str(batch_videos),
+        '--chunk_frames', str(chunk_frames),
+        '--mask_det_file', '/tmp/stmask_bench_results.json'])
+    cfg, model, params = eval_script.load_model(args)
+    stats = eval_script.evaluate_dataset_batched(args, cfg, model, params)
+    fps = stats['e2e_fps']
+    print(json.dumps({
+        'metric': f'ytvis2019_e2e_fps_per_chip_b{batch_videos}_360x640',
+        'value': round(fps, 2),
+        'unit': 'frames/s',
+        'vs_baseline': round(fps / BASELINE_FPS, 3),
+    }))
+
+
 if __name__ == '__main__':
-    main()
+    p = argparse.ArgumentParser()
+    p.add_argument('--e2e', action='store_true',
+                   help='benchmark the batched eval driver end-to-end '
+                        '(host IO included) instead of the device step')
+    p.add_argument('--batch_videos', type=int, default=8)
+    a = p.parse_args()
+    if a.e2e:
+        main_e2e(a.batch_videos)
+    else:
+        main()

@@ -39,6 +39,10 @@ def parse_args(argv=None):
                    help='directory of frames for a single video')
     p.add_argument('--display', action='store_true',
                    help='write detection overlays to --display_dir')
+    p.add_argument('--display_lincomb', action='store_true',
+                   help='with --display, also write the prototype '
+                        'linear-combination breakdown of the top detection '
+                        '(reference eval.py:91, output_utils.py:168)')
     p.add_argument('--display_dir', default='results/display')
     p.add_argument('--batch_videos', type=int, default=8,
                    help='video streams stepped in lockstep (throughput)')
@@ -58,6 +62,12 @@ def parse_args(argv=None):
     p.add_argument('--nms_as_miou', action='store_true',
                    help='blend box IoU with mask IoU in cc NMS '
                         '(reference detection.py:154-158)')
+    p.add_argument('--tensorboard_dir', default=None,
+                   help='with --metrics_only, also write the metrics as '
+                        'TensorBoard scalars (reference eval.py:850-852)')
+    p.add_argument('--time_device', action='store_true',
+                   help='block on every dispatch to report pure device FPS '
+                        '(disables host-IO overlap; benchmark use)')
     return p.parse_args(argv)
 
 
@@ -120,6 +130,27 @@ def _write_display(args, cfg, pre, out, vid, f):
                            np.asarray(out.obj_id)[idx], cfg.classes)
     cv2.imwrite(os.path.join(args.display_dir, f'{vid:05d}_{f:04d}.png'),
                 cv2.cvtColor(over, cv2.COLOR_RGB2BGR))
+
+
+def _write_lincomb(args, dbg, vid, f):
+    """Prototype linear-combination breakdown of the top detection
+    (reference --display_lincomb, output_utils.py:168)."""
+    import cv2
+    import numpy as np
+    from stmask_tpu.utils.visualization import display_lincomb
+    valid = np.asarray(dbg['det_valid'])
+    if not valid.any():
+        return
+    top = int(np.nonzero(valid)[0][0])
+    coeff = np.tanh(np.asarray(dbg['mask_coeff'], np.float32)[top])
+    grids = display_lincomb(np.asarray(dbg['proto'], np.float32), coeff)
+    out_dir = os.path.join(args.display_dir, 'proto')
+    os.makedirs(out_dir, exist_ok=True)
+    for name, g in grids.items():
+        gmin, gmax = float(g.min()), float(g.max())
+        img = ((g - gmin) / max(gmax - gmin, 1e-6) * 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(out_dir,
+                                 f'{vid:05d}_{f:04d}_{name}.png'), img)
 
 
 def evaluate_dataset_batched(args, cfg, model, params):
@@ -193,14 +224,28 @@ def evaluate_dataset_batched(args, cfg, model, params):
                                      pad_shape=pre['pad_shape'])
         return (frames, first, metas) if any_active else None
 
+    # compile outside the timed region (cold TPU compiles dominate).
+    # NOTE: video_chunk donates its state arg, so keep the returned states
+    # (every video's first frame carries is_first=True, which resets the
+    # per-lane tracker, so the warmup leaves no trace in results).
+    states, warm = video_chunk(params, states,
+                               jnp.zeros((k, b, cfg.pad_h, cfg.pad_w, 3)),
+                               jnp.zeros((k, b), bool))
+    jax.block_until_ready(warm.box)
+
     t0 = time.perf_counter()
     n_frames = 0
+    device_s = 0.0
     per_frame = []
     chunk = next_chunk()
     while chunk is not None:
         frames, first, metas = chunk
+        td = time.perf_counter()
         states, outs = video_chunk(params, states, jnp.asarray(frames),
                                    jnp.asarray(first))
+        if args.time_device:
+            jax.block_until_ready(outs.box)
+            device_s += time.perf_counter() - td
         nxt = next_chunk()            # overlap host IO with device compute
         outs = jax.tree_util.tree_map(np.asarray, outs)
         for step in range(k):
@@ -216,7 +261,14 @@ def evaluate_dataset_batched(args, cfg, model, params):
         chunk = nxt
 
     dt = time.perf_counter() - t0
-    print(f'{n_frames} frames in {dt:.1f}s = {n_frames / dt:.1f} FPS/chip')
+    fps = {'e2e_fps': n_frames / dt, 'n_frames': n_frames}
+    print(f'{n_frames} frames in {dt:.1f}s = {n_frames / dt:.1f} FPS/chip '
+          '(end-to-end: decode + preprocess + device + postprocess)')
+    if args.time_device and device_s > 0:
+        # device dispatches count k*b lanes even when some are inactive
+        # at the tail; steady-state chips process k*b frames per dispatch
+        fps['device_fps'] = n_frames / device_s
+        print(f'device-only: {device_s:.1f}s = {fps["device_fps"]:.1f} FPS')
 
     # group by video for the JSON writer (it expects video-contiguous order)
     per_frame.sort(key=lambda r: (r['video_id'], r['frame_id']))
@@ -231,7 +283,8 @@ def evaluate_dataset_batched(args, cfg, model, params):
                 gt = json.load(fh)
         stats = evaluate_ytvis(gt, json_results)
         print(json.dumps(stats, indent=2))
-        return stats
+        return dict(stats, **fps)
+    return fps
 
 
 def evaluate_dataset(args, cfg, model, params):
@@ -246,7 +299,8 @@ def evaluate_dataset(args, cfg, model, params):
 
     dataset = YTVISDataset(args.ann_file, args.img_prefix,
                            has_annotations=args.eval_metrics)
-    video_step, make_state = build_video_step(cfg, model)
+    debug = args.display and args.display_lincomb
+    video_step, make_state = build_video_step(cfg, model, debug=debug)
 
     timer = StageTimer()
     results = []
@@ -267,8 +321,12 @@ def evaluate_dataset(args, cfg, model, params):
                 pre = preprocess_frame(cfg, img)
                 frame = jnp.asarray(pre['image'])
             with timer.env('step'):
-                state, out = video_step(params, state, frame,
-                                        jnp.asarray(f == 0))
+                if debug:
+                    state, out, dbg = video_step(params, state, frame,
+                                                 jnp.asarray(f == 0))
+                else:
+                    state, out = video_step(params, state, frame,
+                                            jnp.asarray(f == 0))
                 out = jax.tree_util.tree_map(np.asarray, out)
             with timer.env('postprocess'):
                 meta = {'video_id': vid, 'frame_id': f,
@@ -278,6 +336,8 @@ def evaluate_dataset(args, cfg, model, params):
                     cfg, out, meta, score_threshold=args.score_threshold))
             if args.display:
                 _write_display(args, cfg, pre, out, vid, f)
+                if debug:
+                    _write_lincomb(args, dbg, vid, f)
             n_frames += 1
             if args.benchmark and n_frames == 5:
                 t_start = time.perf_counter()   # exclude warmup
@@ -348,6 +408,19 @@ def main(argv=None):
         from stmask_tpu.utils.ytvis_eval import evaluate_ytvis
         stats = evaluate_ytvis(args.ann_file, args.mask_det_file)
         print(json.dumps(stats, indent=2))
+        if args.tensorboard_dir:
+            # reference eval.py:850-852 (only_calc_metrics -> SummaryWriter)
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+            except ImportError:
+                print('tensorboard not available; skipping scalar export',
+                      file=sys.stderr)
+            else:
+                writer = SummaryWriter(log_dir=args.tensorboard_dir,
+                                       filename_suffix='VIS')
+                for name, value in stats.items():
+                    writer.add_scalar(f'valid_metrics/{name}', value, 1)
+                writer.close()
         return 0
 
     if args.video_dir is not None:

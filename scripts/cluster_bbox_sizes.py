@@ -34,6 +34,23 @@ def collect_boxes(ann_file):
     return np.asarray(whs, np.float64)
 
 
+def load_whs(args):
+    """Box (w, h) source: --ann_file json, or --box_file pickle (either the
+    normalized xyxy output of augment_bbox.py or save_bboxes.py rows)."""
+    if args.box_file:
+        import pickle
+        with open(args.box_file, 'rb') as f:
+            rows = np.asarray(pickle.load(f), np.float64)
+        if rows.shape[1] == 4:        # augmented normalized xyxy
+            return np.stack([rows[:, 2] - rows[:, 0],
+                             rows[:, 3] - rows[:, 1]], axis=1)
+        return np.stack([rows[:, 4] / rows[:, 0],
+                         rows[:, 5] / rows[:, 1]], axis=1)
+    if not args.ann_file:
+        raise SystemExit('need --ann_file or --box_file')
+    return collect_boxes(args.ann_file)
+
+
 def kmeans_iou(whs, k, iters=100, seed=0):
     """k-means with 1 - IoU distance (standard YOLO anchor clustering)."""
     rng = np.random.RandomState(seed)
@@ -59,10 +76,13 @@ def kmeans_iou(whs, k, iters=100, seed=0):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('--ann_file', required=True)
+    p.add_argument('--ann_file', default=None)
+    p.add_argument('--box_file', default=None,
+                   help='normalized-wh pickle from augment_bbox.py '
+                        '(or [w,h,x,y,bw,bh] rows from save_bboxes.py)')
     p.add_argument('-k', type=int, default=9)
     args = p.parse_args()
-    whs = collect_boxes(args.ann_file)
+    whs = load_whs(args)
     print(f'{len(whs)} boxes')
     centers, mean_iou = kmeans_iou(whs, args.k)
     order = np.argsort(centers.prod(1))

@@ -15,7 +15,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from cluster_bbox_sizes import collect_boxes  # noqa: E402
+from cluster_bbox_sizes import collect_boxes, load_whs  # noqa: E402,F401
 
 
 def mean_best_iou(whs, anchors):
@@ -28,7 +28,10 @@ def mean_best_iou(whs, anchors):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('--ann_file', required=True)
+    p.add_argument('--ann_file', default=None)
+    p.add_argument('--box_file', default=None,
+                   help='normalized-wh pickle from augment_bbox.py '
+                        '(or [w,h,x,y,bw,bh] rows from save_bboxes.py)')
     p.add_argument('--config', default='STMask_plus_resnet50')
     args = p.parse_args()
 
@@ -37,7 +40,7 @@ def main():
     from stmask_tpu.ops.anchors import all_priors
 
     cfg = get_config(args.config)
-    whs = collect_boxes(args.ann_file)
+    whs = load_whs(args)
     cur = all_priors(cfg)[:, 2:]
     # dedupe anchor shapes
     anchors0 = np.unique(np.round(cur, 5), axis=0)

@@ -223,6 +223,13 @@ class STMaskConfig:
     track_capacity: int = 128             # padded track-state slots
     shift_capacity: int = 32              # active slots run through TemporalNet
 
+    # ---- training-time augmentation (reference datasets/extra_aug.py,
+    # off in every STMask dataset preset — config 'extra_aug': None — and
+    # utils/augmentations.py:666 SSDAugmentation for the legacy path) ----
+    # 'none' | 'extra' (PhotoMetric+Expand+RandomCrop, mmcv extra_aug)
+    # | 'ssd' (legacy YOLACT chain incl. RandomSampleCrop+RandomMirror)
+    train_augment: str = 'none'
+
     # ---- delayed settings (reference config.py:582-584) ----
     # ((iteration, (('field', value), ...)), ...): applied once the training
     # iteration passes the threshold (train.py rebuilds the step program)

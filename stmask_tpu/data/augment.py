@@ -69,9 +69,13 @@ class PhotoMetricDistortion:
 
 class Expand:
     def __init__(self, mean=(123.675, 116.28, 103.53),
-                 ratio_range=(1, 4)):
+                 ratio_range=(1, 4), keep_size=True):
         self.mean = mean
         self.ratio_range = ratio_range
+        # keep_size: resize the expanded canvas back to the input size
+        # (mmcv extra_aug semantics); False leaves the canvas expanded
+        # (SSD-chain semantics — the fixed resize happens later anyway)
+        self.keep_size = keep_size
 
     def __call__(self, img, boxes, labels, masks, ids, rng=None):
         rng = rng or np.random
@@ -84,15 +88,21 @@ class Expand:
         left = int(rng.uniform(0, ew - w))
         top = int(rng.uniform(0, eh - h))
         canvas[top:top + h, left:left + w] = img
-        img = cv2.resize(canvas, (w, h), interpolation=cv2.INTER_NEAREST)
-        boxes = np.rint((boxes + np.tile((left, top), 2)) / ratio) \
-            .astype(boxes.dtype)
         new_masks = []
         for m in masks:
             cm = np.zeros((eh, ew), m.dtype)
             cm[top:top + h, left:left + w] = m
-            new_masks.append(cv2.resize(cm, (w, h),
-                                        interpolation=cv2.INTER_NEAREST))
+            new_masks.append(cm)
+        if not self.keep_size:
+            boxes = boxes + np.tile((left, top), 2).astype(boxes.dtype)
+            out_masks = np.stack(new_masks) if new_masks else masks
+            return canvas, boxes, labels, out_masks, ids
+        img = cv2.resize(canvas, (w, h), interpolation=cv2.INTER_NEAREST)
+        boxes = np.rint((boxes + np.tile((left, top), 2)) / ratio) \
+            .astype(boxes.dtype)
+        new_masks = [cv2.resize(m, (w, h),
+                                interpolation=cv2.INTER_NEAREST)
+                     for m in new_masks]
         out_masks = np.stack(new_masks) if new_masks else masks
         return img, boxes, labels, out_masks, ids
 
@@ -135,16 +145,122 @@ class RandomCrop:
                 masks = np.asarray(masks)[keep]
                 ids = np.asarray(ids)[keep]
 
-                img_crop = np.zeros_like(img)
-                img_crop[patch[1]:patch[3], patch[0]:patch[2]] = \
-                    img[patch[1]:patch[3], patch[0]:patch[2]]
+                # true crop (the loader's fixed resize follows host-side,
+                # so the dynamic intermediate shape is fine)
+                img_crop = img[patch[1]:patch[3], patch[0]:patch[2]].copy()
                 boxes[:, 2:] = boxes[:, 2:].clip(max=patch[2:])
                 boxes[:, :2] = boxes[:, :2].clip(min=patch[:2])
                 boxes -= np.tile(patch[:2], 2)
-                masks_crop = np.zeros_like(masks)
-                masks_crop[:, patch[1]:patch[3], patch[0]:patch[2]] = \
-                    masks[:, patch[1]:patch[3], patch[0]:patch[2]]
+                masks_crop = masks[:, patch[1]:patch[3],
+                                   patch[0]:patch[2]].copy()
                 return img_crop, boxes, labels, masks_crop, ids
+        return img, boxes, labels, masks, ids
+
+
+class RandomSampleCrop:
+    """The SSD-chain crop (reference ``utils/augmentations.py:241-330``):
+    sample a (min_iou, max_iou) mode, then a patch whose jaccard overlap
+    with the boxes satisfies it and that contains at least one box center;
+    true-crop image/masks, clip + shift kept boxes."""
+
+    MODES = (None, (0.1, None), (0.3, None), (0.7, None), (0.9, None),
+             (None, None))
+
+    def __call__(self, img, boxes, labels, masks, ids, rng=None):
+        rng = rng or np.random
+        h, w, _ = img.shape
+        while True:
+            mode = self.MODES[rng.randint(len(self.MODES))]
+            if mode is None or len(boxes) == 0:
+                return img, boxes, labels, masks, ids
+            min_iou = mode[0] if mode[0] is not None else -np.inf
+            max_iou = mode[1] if mode[1] is not None else np.inf
+            for _ in range(50):
+                cw = rng.uniform(0.3 * w, w)
+                ch = rng.uniform(0.3 * h, h)
+                if ch / cw < 0.5 or ch / cw > 2:
+                    continue
+                left = rng.uniform(w - cw)
+                top = rng.uniform(h - ch)
+                rect = np.asarray([int(left), int(top), int(left + cw),
+                                   int(top + ch)])
+                overlap = _pairwise_iou(boxes.astype(np.float32),
+                                        rect[None].astype(np.float32))[:, 0]
+                # the reference's (odd) accept condition, kept verbatim
+                if overlap.min() < min_iou and max_iou < overlap.max():
+                    continue
+                centers = (boxes[:, :2] + boxes[:, 2:]) / 2
+                keep = ((rect[0] < centers[:, 0]) & (rect[1] < centers[:, 1])
+                        & (rect[2] > centers[:, 0])
+                        & (rect[3] > centers[:, 1]))
+                if not keep.any():
+                    continue
+                boxes = boxes[keep].copy()
+                labels = labels[keep]
+                masks = np.asarray(masks)[keep]
+                ids = np.asarray(ids)[keep]
+                img = img[rect[1]:rect[3], rect[0]:rect[2]].copy()
+                masks = masks[:, rect[1]:rect[3], rect[0]:rect[2]].copy()
+                boxes[:, :2] = np.maximum(boxes[:, :2], rect[:2]) - rect[:2]
+                boxes[:, 2:] = np.minimum(boxes[:, 2:], rect[2:]) - rect[:2]
+                return img, boxes, labels, masks, ids
+
+
+class RandomMirror:
+    """Horizontal flip (reference ``augmentations.py:332-341``)."""
+
+    def __call__(self, img, boxes, labels, masks, ids, rng=None):
+        rng = rng or np.random
+        if rng.randint(2):
+            w = img.shape[1]
+            img = img[:, ::-1].copy()
+            masks = np.asarray(masks)[:, :, ::-1].copy()
+            boxes = boxes.copy()
+            boxes[:, 0::2] = w - boxes[:, 2::-2]
+        return img, boxes, labels, masks, ids
+
+
+class RandomFlip:
+    """Vertical flip (reference ``augmentations.py:344-354``)."""
+
+    def __call__(self, img, boxes, labels, masks, ids, rng=None):
+        rng = rng or np.random
+        if rng.randint(2):
+            h = img.shape[0]
+            img = img[::-1].copy()
+            masks = np.asarray(masks)[:, ::-1].copy()
+            boxes = boxes.copy()
+            boxes[:, 1::2] = h - boxes[:, 3::-2]
+        return img, boxes, labels, masks, ids
+
+
+class SSDAugmentation:
+    """The legacy YOLACT training chain (reference
+    ``utils/augmentations.py:666-686``): PhotometricDistort -> Expand
+    (canvas kept) -> RandomSampleCrop -> RandomMirror [-> RandomFlip].
+    The fixed resize/pad/normalize happen downstream in
+    ``transforms.preprocess_frame``."""
+
+    def __init__(self, photometric=True, expand=True, sample_crop=True,
+                 mirror=True, flip=False,
+                 mean=(123.675, 116.28, 103.53)):
+        self.transforms = []
+        if photometric:
+            self.transforms.append(PhotoMetricDistortion())
+        if expand:
+            self.transforms.append(Expand(mean=mean, keep_size=False))
+        if sample_crop:
+            self.transforms.append(RandomSampleCrop())
+        if mirror:
+            self.transforms.append(RandomMirror())
+        if flip:
+            self.transforms.append(RandomFlip())
+
+    def __call__(self, img, boxes, labels, masks, ids, rng=None):
+        img = img.astype(np.float32)
+        for t in self.transforms:
+            img, boxes, labels, masks, ids = t(img, boxes, labels, masks,
+                                               ids, rng=rng)
         return img, boxes, labels, masks, ids
 
 

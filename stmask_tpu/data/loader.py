@@ -61,6 +61,15 @@ class ClipLoader:
         self.num_shards = num_shards
         self.shard_id = shard_id
         self.index = dataset.train_index()
+        if cfg.train_augment == 'extra':
+            from .augment import ExtraAugmentation
+            self.augment = ExtraAugmentation(photo_metric_distortion={},
+                                             expand={}, random_crop={})
+        elif cfg.train_augment == 'ssd':
+            from .augment import SSDAugmentation
+            self.augment = SSDAugmentation()
+        else:
+            self.augment = None
 
     def _load_clip(self, vid: int, key_frame: int,
                    rng: np.random.RandomState) -> Dict:
@@ -71,6 +80,18 @@ class ClipLoader:
         for f in (key_frame, ref_frame):
             img = load_image_rgb(self.ds.frame_path(vid, f))
             annots = self.ds.frame_annots(vid, f)
+            if self.augment is not None and len(annots.boxes):
+                # geometric+photometric aug at original resolution; crowd
+                # regions are approximate neutral zones and ride through
+                # un-augmented (crops may invalidate them — acceptable, the
+                # reference extra_aug path doesn't augment crowds either)
+                img, boxes, labels, masks, ids = self.augment(
+                    img, annots.boxes, annots.labels, annots.masks,
+                    annots.ids, rng=rng)
+                annots = type(annots)(
+                    boxes.astype(np.float32), labels, ids,
+                    masks.astype(np.uint8),
+                    crowd_boxes=np.zeros((0, 4), np.float32))
             frames.append(pad_gt(self.cfg,
                                  preprocess_frame(self.cfg, img, annots,
                                                   flip=flip)))

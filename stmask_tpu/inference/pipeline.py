@@ -28,7 +28,8 @@ from .tracker import (FrameOutput, TrackState, init_state, track_step_simple,
                       track_step_tf)
 
 
-def _make_step_fn(cfg: STMaskConfig, model: STMask, priors: jax.Array):
+def _make_step_fn(cfg: STMaskConfig, model: STMask, priors: jax.Array,
+                  debug: bool = False):
     def step_fn(params, state: TrackState, frame: jax.Array,
                 is_first: jax.Array) -> Tuple[TrackState, FrameOutput]:
         # compute in the parameter dtype (bf16 params -> bf16 convs)
@@ -59,19 +60,26 @@ def _make_step_fn(cfg: STMaskConfig, model: STMask, priors: jax.Array):
                                        proto, fpn_feat, t2s_feat, is_first)
         else:
             state, out = track_step_simple(cfg, state, det, proto, is_first)
+        if debug:
+            # pre-tracking NMS detections, for display_lincomb etc.
+            return state, out, {'proto': proto,
+                                'mask_coeff': det.mask_coeff,
+                                'det_valid': det.valid}
         return state, out
 
     return step_fn
 
 
-def build_video_step(cfg: STMaskConfig, model: STMask):
+def build_video_step(cfg: STMaskConfig, model: STMask, debug: bool = False):
     """Returns (video_step, make_init_state).
 
     video_step(params, state, frame[H, W, 3], is_first) is jitted; frame is
-    the already normalized padded image.
+    the already normalized padded image.  ``debug=True`` additionally
+    returns {'proto', 'mask_coeff', 'det_valid'} of the pre-tracking
+    detections (the ``--display_lincomb`` surface).
     """
     priors = jnp.asarray(all_priors(cfg))
-    step_fn = _make_step_fn(cfg, model, priors)
+    step_fn = _make_step_fn(cfg, model, priors, debug=debug)
     video_step = jax.jit(step_fn, donate_argnums=(1,))
 
     def make_init_state(feat_dtype=jnp.float32) -> TrackState:

@@ -44,6 +44,16 @@ def test_expand_keeps_boxes_on_objects():
                 assert xs.min() >= b[0] - 3 and xs.max() <= b[2] + 3
 
 
+def _assert_boxes_match_masks(boxes, masks, tol=3):
+    """Each box must still bound its (cropped) mask — catches box/mask
+    coordinate-frame mismatches."""
+    for m, b in zip(masks, boxes):
+        ys, xs = np.nonzero(m)
+        if xs.size:
+            assert xs.min() >= b[0] - tol and xs.max() <= b[2] + tol
+            assert ys.min() >= b[1] - tol and ys.max() <= b[3] + tol
+
+
 def test_random_crop_keeps_valid_annotations():
     rng = np.random.RandomState(1)
     for _ in range(10):
@@ -54,6 +64,11 @@ def test_random_crop_keeps_valid_annotations():
         assert len(boxes2) >= 1
         assert np.all(boxes2[:, 2] > boxes2[:, 0])
         assert np.all(boxes2[:, 3] > boxes2[:, 1])
+        # image and masks crop together with the boxes
+        assert img2.shape[:2] == masks2.shape[1:]
+        assert np.all(boxes2[:, 2] <= img2.shape[1])
+        assert np.all(boxes2[:, 3] <= img2.shape[0])
+        _assert_boxes_match_masks(boxes2, masks2)
 
 
 def test_extra_augmentation_chain():
@@ -65,4 +80,47 @@ def test_extra_augmentation_chain():
         random_crop={'min_ious': (0.3, 0.5), 'min_crop_size': 0.5})
     out = aug(img, boxes, labels, masks, ids, rng=rng)
     assert len(out) == 5
-    assert out[0].shape == img.shape
+    assert out[0].shape[:2] == out[3].shape[1:]
+    _assert_boxes_match_masks(out[1], out[3])
+
+
+def test_random_sample_crop_ssd():
+    from stmask_tpu.data.augment import RandomSampleCrop
+    rng = np.random.RandomState(4)
+    for _ in range(20):
+        img, boxes, labels, masks, ids = _sample(rng)
+        img2, boxes2, labels2, masks2, ids2 = RandomSampleCrop()(
+            img, boxes, labels, masks, ids, rng=rng)
+        assert len(boxes2) >= 1
+        assert img2.shape[:2] == masks2.shape[1:]
+        assert np.all(boxes2[:, :2] >= 0)
+        assert np.all(boxes2[:, 2] <= img2.shape[1])
+        assert np.all(boxes2[:, 3] <= img2.shape[0])
+        _assert_boxes_match_masks(boxes2, masks2)
+
+
+def test_random_mirror_and_flip():
+    from stmask_tpu.data.augment import RandomFlip, RandomMirror
+    img, boxes, labels, masks, ids = _sample(np.random.RandomState(0))
+
+    class AlwaysFlip:
+        def randint(self, n):
+            return 1
+    out = RandomMirror()(img, boxes, labels, masks, ids, rng=AlwaysFlip())
+    np.testing.assert_array_equal(out[0], img[:, ::-1])
+    _assert_boxes_match_masks(out[1], out[3], tol=1)
+    out = RandomFlip()(img, boxes, labels, masks, ids, rng=AlwaysFlip())
+    np.testing.assert_array_equal(out[0], img[::-1])
+    _assert_boxes_match_masks(out[1], out[3], tol=1)
+
+
+def test_ssd_augmentation_chain():
+    from stmask_tpu.data.augment import SSDAugmentation
+    rng = np.random.RandomState(5)
+    for _ in range(10):
+        img, boxes, labels, masks, ids = _sample(rng)
+        out = SSDAugmentation()(img, boxes, labels, masks, ids, rng=rng)
+        img2, boxes2, labels2, masks2, ids2 = out
+        assert len(boxes2) >= 1
+        assert img2.shape[:2] == masks2.shape[1:]
+        _assert_boxes_match_masks(boxes2, masks2)

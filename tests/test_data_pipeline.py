@@ -123,3 +123,30 @@ def test_clip_loader_batches(synth_dataset):
     # same object keeps its id across the two frames of a clip
     assert set(batch['ids'][0, 0][batch['valid'][0, 0]].tolist()) == \
         set(batch['ids'][0, 1][batch['valid'][0, 1]].tolist())
+
+
+@pytest.mark.parametrize('mode', ['extra', 'ssd'])
+def test_clip_loader_with_train_augment(synth_dataset, mode):
+    """cfg.train_augment wires the aug chain ahead of the fixed resize;
+    batches keep static shapes and box/mask consistency."""
+    ann_file, img_prefix = synth_dataset
+    ds = YTVISDataset(ann_file, img_prefix)
+    cfg = CFG.replace(train_augment=mode)
+    loader = ClipLoader(cfg, ds, batch_size=2, num_workers=2)
+    batch = next(iter(loader.epoch(0)))
+    g = cfg.max_gt_per_frame
+    assert batch['images'].shape == (2, 2, cfg.pad_h, cfg.pad_w, 3)
+    assert batch['boxes'].shape == (2, 2, g, 4)
+    assert batch['valid'].sum() >= 4           # crops may drop an object
+    val = batch['valid']
+    assert np.all(batch['boxes'][val] >= -1e-6)
+    assert np.all(batch['boxes'][val] <= 1 + 1e-6)
+    # each surviving mask stays inside its (normalized, pad-scaled) box
+    hp, wp = cfg.pad_h // 4, cfg.pad_w // 4
+    for b, m in zip(batch['boxes'][val], batch['masks_proto'][val]):
+        ys, xs = np.nonzero(m)
+        if xs.size:
+            assert xs.min() / wp >= b[0] - 0.1
+            assert xs.max() / wp <= b[2] + 0.1
+            assert ys.min() / hp >= b[1] - 0.1
+            assert ys.max() / hp <= b[3] + 0.1

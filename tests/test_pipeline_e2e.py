@@ -64,6 +64,23 @@ def test_video_step_and_json(model_and_params):
     json.dumps(json_results)
 
 
+def test_video_step_debug_outputs(model_and_params):
+    """debug=True surfaces proto + det coefficients (--display_lincomb)."""
+    model, params = model_and_params
+    video_step, make_state = build_video_step(TINY, model, debug=True)
+    state = make_state()
+    frame = jnp.zeros((TINY.pad_h, TINY.pad_w, 3))
+    state, out, dbg = video_step(params, state, frame, jnp.asarray(True))
+    assert dbg['proto'].shape == (TINY.pad_h // 4, TINY.pad_w // 4, 32)
+    assert dbg['mask_coeff'].shape[1] == 32
+    assert dbg['det_valid'].dtype == bool
+
+    from stmask_tpu.utils.visualization import display_lincomb
+    grids = display_lincomb(np.asarray(dbg['proto'], np.float32),
+                            np.tanh(np.asarray(dbg['mask_coeff'][0])))
+    assert grids['mask'].shape == (TINY.pad_h // 4, TINY.pad_w // 4)
+
+
 def test_video_step_state_carries(model_and_params):
     model, params = model_and_params
     video_step, make_state = build_video_step(TINY, model)

@@ -42,6 +42,10 @@ def parse_args(argv=None):
     p.add_argument('--img_w', type=int, default=None,
                    help='override input width (debug/small-scale runs)')
     p.add_argument('--img_h', type=int, default=None)
+    p.add_argument('--vis_every', type=int, default=0,
+                   help='every N steps write train/gt overlay PNGs of the '
+                        'current batch (reference display_train_output)')
+    p.add_argument('--vis_dir', default='results/train_vis')
     return p.parse_args(argv)
 
 
@@ -172,6 +176,12 @@ def main(argv=None):
                 if iteration % args.save_interval == 0 and iteration > 0:
                     print('Saving state, iter:', iteration)
                     ckpt.save(state, epoch, iteration)
+
+                if args.vis_every > 0 and iteration % args.vis_every == 0:
+                    from stmask_tpu.utils.visualization import \
+                        save_train_output
+                    save_train_output(cfg, model, state.params, batch,
+                                      args.vis_dir, epoch, iteration)
             if iteration >= cfg.max_iter:
                 break
 
