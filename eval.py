@@ -68,6 +68,9 @@ def parse_args(argv=None):
     p.add_argument('--time_device', action='store_true',
                    help='block on every dispatch to report pure device FPS '
                         '(disables host-IO overlap; benchmark use)')
+    p.add_argument('--img_w', type=int, default=None,
+                   help='override input width (debug/small-scale runs)')
+    p.add_argument('--img_h', type=int, default=None)
     return p.parse_args(argv)
 
 
@@ -89,6 +92,10 @@ def load_model(args):
         cfg = cfg.replace(eval_nms_method=args.nms)
     if getattr(args, 'nms_as_miou', False):
         cfg = cfg.replace(nms_as_miou=True)
+    if getattr(args, 'img_w', None):
+        cfg = cfg.replace(img_w=args.img_w)
+    if getattr(args, 'img_h', None):
+        cfg = cfg.replace(img_h=args.img_h)
 
     model = STMask(cfg)
     x0 = jnp.zeros((1, cfg.pad_h, cfg.pad_w, 3))

@@ -90,3 +90,26 @@ def test_visualization_smoke():
     rgb = undo_image_transformation(norm, CFG.img_h, CFG.img_w)
     assert rgb.shape == (CFG.img_h, CFG.img_w, 3)
     assert rgb.dtype == np.uint8
+
+
+def test_compute_masks_lstsq_fit():
+    """scripts/compute_masks.py: prototypes that span the gt reconstruct it
+    with IoU 1; an orthogonal gt fits poorly."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                    'scripts'))
+    from compute_masks import fit_protos
+
+    rng = np.random.RandomState(0)
+    h, w, k = 24, 32, 8
+    proto = rng.rand(h, w, k).astype(np.float32)
+    gt0 = np.zeros((h, w), np.float32)
+    gt0[4:12, 6:20] = 1
+    proto[..., 3] = gt0                      # gt0 in the span
+    gt1 = np.zeros((h, w), np.float32)
+    gt1[15:22, 2:9] = 1                      # arbitrary second object
+    approx, ious = fit_protos(proto, np.stack([gt0, gt1]))
+    assert approx.shape == (2, h, w)
+    assert ious[0] > 0.99
+    assert 0 <= ious[1] <= 1
