@@ -160,6 +160,55 @@ def _write_lincomb(args, dbg, vid, f):
                                  f'{vid:05d}_{f:04d}_{name}.png'), img)
 
 
+def _fetch_kept(outs):
+    """Device FrameOutput (leading dims [...] + track axis T) -> host dict
+    of the small fields plus ONLY the kept detections' masks.
+
+    The mask tensor is [..., T, Hp, Wp] at full track capacity — pulling it
+    to host wholesale moves GBs per chunk through the (possibly remote)
+    device link and was the e2e bottleneck; instead gather the kept slots
+    on device (one dispatch) and transfer just those.
+    Returns (small: field->np.ndarray, keep_idx: tuple of index arrays,
+    kept_masks: [N, Hp, Wp] float32 aligned with keep_idx order).
+    """
+    import jax.numpy as jnp
+    import numpy as np
+    small = {f: np.asarray(getattr(outs, f))
+             for f in outs._fields if f != 'mask'}
+    keep_idx = np.nonzero(small['keep'])
+    n = keep_idx[0].size
+    if n:
+        # pad the gather to a power-of-two bucket: the compiled program is
+        # shaped by N, and an unpadded gather would recompile per distinct
+        # keep count
+        n_pad = 1 << (n - 1).bit_length()
+        idxs = tuple(jnp.asarray(np.concatenate(
+            [i, np.zeros(n_pad - n, i.dtype)])) for i in keep_idx)
+        kept = np.asarray(outs.mask[idxs])[:n]
+    else:
+        kept = np.zeros((0,) + tuple(outs.mask.shape[-2:]), np.float32)
+    return small, keep_idx, kept
+
+
+def _compact_frame(small, keep_idx, kept_masks, lead=()):
+    """Per-frame compacted FrameOutput (keep all-True) for postprocess:
+    ``lead`` selects the (step, lane) of batched outputs, () = sequential."""
+    import numpy as np
+    from stmask_tpu.inference.tracker import FrameOutput
+    if keep_idx[0].size:
+        sel = np.ones(keep_idx[0].shape, bool)
+        for axis, want in enumerate(lead):
+            sel &= keep_idx[axis] == want
+    else:
+        sel = np.zeros(0, bool)
+    slots = keep_idx[-1][sel]
+    pick = lambda f: small[f][lead][slots]  # noqa: E731
+    return FrameOutput(box=pick('box'), score=pick('score'),
+                       cls=pick('cls'), mask=kept_masks[sel],
+                       obj_id=pick('obj_id'),
+                       keep=np.ones(len(slots), bool))
+
+
 def evaluate_dataset_batched(args, cfg, model, params):
     """Throughput eval: B lockstep video streams x K-frame chunks.
 
@@ -254,14 +303,14 @@ def evaluate_dataset_batched(args, cfg, model, params):
             jax.block_until_ready(outs.box)
             device_s += time.perf_counter() - td
         nxt = next_chunk()            # overlap host IO with device compute
-        outs = jax.tree_util.tree_map(np.asarray, outs)
+        small, keep_idx, kept_masks = _fetch_kept(outs)
         for step in range(k):
             for lane in range(b):
                 meta = metas[step][lane]
                 if meta is None:
                     continue
-                fo = jax.tree_util.tree_map(
-                    lambda x: x[step, lane], outs)
+                fo = _compact_frame(small, keep_idx, kept_masks,
+                                    lead=(step, lane))
                 per_frame.append(postprocess_frame(
                     cfg, fo, meta, score_threshold=args.score_threshold))
                 n_frames += 1
@@ -334,8 +383,9 @@ def evaluate_dataset(args, cfg, model, params):
                 else:
                     state, out = video_step(params, state, frame,
                                             jnp.asarray(f == 0))
-                out = jax.tree_util.tree_map(np.asarray, out)
             with timer.env('postprocess'):
+                # kept-only mask transfer (full bank stays on device)
+                out = _compact_frame(*_fetch_kept(out))
                 meta = {'video_id': vid, 'frame_id': f,
                         'img_shape': pre['img_shape'],
                         'pad_shape': pre['pad_shape']}
@@ -396,7 +446,7 @@ def evaluate_video_dir(args, cfg, model, params):
         pre = preprocess_frame(cfg, img)
         state, out = video_step(params, state, jnp.asarray(pre['image']),
                                 jnp.asarray(f == 0))
-        out = jax.tree_util.tree_map(np.asarray, out)
+        out = _compact_frame(*_fetch_kept(out))
         meta = {'video_id': 0, 'frame_id': f,
                 'img_shape': pre['img_shape'],
                 'pad_shape': pre['pad_shape']}

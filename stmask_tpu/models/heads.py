@@ -55,12 +55,28 @@ def _ali_offsets(shape: jax.Array, ks: Tuple[int, int]) -> jax.Array:
         shape.shape[:-1] + (2 * k,))
 
 
+def _focal_conf_bias_init(cfg: STMaskConfig, n_scales: int):
+    """Focal-loss conf bias init (reference STMask.py:180-184): background
+    starts near-certain (+log((1-pi)/pi)), classes near-zero probability
+    (-log((1-pi)/pi)); channel layout scale-major, class-minor."""
+    pi = cfg.focal_loss_init_pi
+    import numpy as np
+    b0 = float(np.log((1.0 - pi) / pi))
+    bias = np.full((n_scales, cfg.num_classes), -b0, np.float32)
+    bias[:, 0] = b0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jnp.asarray(bias.reshape(shape), dtype)
+    return init
+
+
 class FeatureAlign(nn.Module):
     """FCB: deformable alignment driven by the box branch
     (reference Featurealign.py)."""
     out_channels: int
     kernel_size: Tuple[int, int]
     use_pred_offset: bool = True     # ada=True, ali=False
+    bias_init: Optional[object] = None   # final-conv bias init override
 
     @nn.compact
     def __call__(self, x: jax.Array, shape: jax.Array) -> jax.Array:
@@ -81,6 +97,7 @@ class FeatureAlign(nn.Module):
         x = nn.relu(deform_conv2d(x, offset, weight))
         pad = ((ks_h - 1) // 2, (ks_w - 1) // 2)
         return nn.Conv(self.out_channels, (ks_h, ks_w), padding=pad,
+                       bias_init=self.bias_init or nn.initializers.zeros,
                        name='conv')(x)
 
 
@@ -125,14 +142,19 @@ class PredictionHead(nn.Module):
                                name=f'centerness_layer_{k_idx}')(bbox_x)
                 center_banks.append(cent)
 
+            conf_bias = (_focal_conf_bias_init(c, n_scales)
+                         if c.use_sigmoid_focal_loss else None)
             if c.use_dcn_class:
                 conf_cur = FeatureAlign(
                     n_scales * c.num_classes, (kh, kw),
                     use_pred_offset=c.use_pred_offset,
+                    bias_init=conf_bias,
                     name=f'conf_align_{k_idx}')(conf_x, bbox_cur)
             else:
                 conf_cur = nn.Conv(n_scales * c.num_classes, (kh, kw),
                                    padding=pad,
+                                   bias_init=(conf_bias
+                                              or nn.initializers.zeros),
                                    name=f'conf_layer_{k_idx}')(conf_x)
             conf_banks.append(conf_cur)
 

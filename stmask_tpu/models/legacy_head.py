@@ -51,6 +51,7 @@ class PredictionModule(nn.Module):
     mask_dim: int = 32
     num_priors: int = 3
     extra_head_channels: int = 256
+    conf_bias_init: object = None    # focal-loss pi init (STMask.py:180-184)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Dict[str, jax.Array]:
@@ -60,7 +61,10 @@ class PredictionModule(nn.Module):
         bbox = nn.Conv(self.num_priors * 4, (3, 3), padding=1,
                        name='bbox_layer')(x)
         conf = nn.Conv(self.num_priors * self.num_classes, (3, 3),
-                       padding=1, name='conf_layer')(x)
+                       padding=1,
+                       bias_init=(self.conf_bias_init
+                                  or nn.initializers.zeros),
+                       name='conf_layer')(x)
         mask = nn.Conv(self.num_priors * self.mask_dim, (3, 3), padding=1,
                        name='mask_layer')(x)
         # coefficients stay raw: tanh is applied downstream by

@@ -47,9 +47,13 @@ class STMask(nn.Module):
         self.proto_net = MakeNet(_PROTO_SPEC, include_last_relu=False,
                                  name='proto_net')
         if c.head_type == 'legacy':
+            from .heads import _focal_conf_bias_init
             self.prediction_head = PredictionModule(
                 c.num_classes, mask_dim=c.mask_proto_n,
                 num_priors=len(c.pred_scales[0]) * 3,
+                conf_bias_init=(
+                    _focal_conf_bias_init(c, len(c.pred_scales[0]) * 3)
+                    if c.use_sigmoid_focal_loss else None),
                 name='prediction_head')
         else:
             self.prediction_head = PredictionHead(c, name='prediction_head')

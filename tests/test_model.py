@@ -69,3 +69,45 @@ def test_dcn_variants_forward(cfg):
     out = model.apply(params, x, train=False)
     assert out['loc'].shape == (1, cfg.num_priors, 4)
     assert np.all(np.isfinite(np.asarray(out['loc'])))
+
+
+def test_focal_conf_bias_init():
+    """use_sigmoid_focal_loss initializes conf bias to the reference's pi
+    scheme (STMask.py:180-184): background +log((1-pi)/pi), classes
+    -log((1-pi)/pi)."""
+    import numpy as np
+
+    cfg = TINY.replace(use_sigmoid_focal_loss=True)
+    model = STMask(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (1, cfg.pad_h, cfg.pad_w, 3))
+    params = model.init(jax.random.PRNGKey(0), x, train=False)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    b0 = float(np.log((1 - cfg.focal_loss_init_pi)
+                      / cfg.focal_loss_init_pi))
+    found = 0
+    for path, leaf in flat:
+        keys = [getattr(p, 'key', '') for p in path]
+        if any('conf_layer' in str(k) for k in keys) and 'bias' in str(
+                keys[-1]):
+            bias = np.asarray(leaf).reshape(-1, cfg.num_classes)
+            np.testing.assert_allclose(bias[:, 0], b0, rtol=1e-6)
+            np.testing.assert_allclose(bias[:, 1:], -b0, rtol=1e-6)
+            found += 1
+    assert found >= 1
+
+    # FCB path: the FeatureAlign final conv gets the same init
+    cfg2 = TINY_ADA.replace(use_sigmoid_focal_loss=True)
+    model2 = STMask(cfg2)
+    params2 = model2.init(jax.random.PRNGKey(0), x, train=False)
+    flat2 = jax.tree_util.tree_flatten_with_path(params2)[0]
+    found2 = 0
+    for path, leaf in flat2:
+        keys = [str(getattr(p, 'key', '')) for p in path]
+        if any('conf_align' in k for k in keys) and 'conv' in keys[-2] \
+                and keys[-1] == 'bias':
+            bias = np.asarray(leaf).reshape(-1, cfg2.num_classes)
+            np.testing.assert_allclose(bias[:, 0], b0, rtol=1e-6)
+            np.testing.assert_allclose(bias[:, 1:], -b0, rtol=1e-6)
+            found2 += 1
+    assert found2 >= 1
