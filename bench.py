@@ -83,9 +83,16 @@ def main():
 
 
 def main_e2e(batch_videos: int, chunk_frames: int = 10,
-             n_videos: int = 16, n_frames: int = 32):
+             n_videos: int = 16, n_frames: int = 32,
+             trained_model: str | None = None):
     """End-to-end eval-driver FPS on an on-disk synthetic video set
-    (JPEG decode -> preprocess -> device step -> postprocess -> RLE)."""
+    (JPEG decode -> preprocess -> device step -> postprocess -> RLE).
+
+    Pass ``trained_model`` (e.g. the checkpoint from
+    ``scripts/overfit_sanity.py --save_ckpt``) for realistic per-frame
+    detection counts — random weights keep dozens of junk tracks per frame
+    and overstate the postprocess/transfer cost.
+    """
     import sys
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), 'scripts'))
@@ -97,11 +104,15 @@ def main_e2e(batch_videos: int, chunk_frames: int = 10,
     if not os.path.exists(ann_file):
         make_dataset(root, n_videos=n_videos, n_frames=n_frames,
                      h=360, w=640)
-    args = eval_script.parse_args([
+    argv = [
         '--ann_file', ann_file, '--img_prefix', os.path.join(root, 'imgs'),
         '--batch_videos', str(batch_videos),
         '--chunk_frames', str(chunk_frames),
-        '--mask_det_file', '/tmp/stmask_bench_results.json'])
+        '--mask_det_file', '/tmp/stmask_bench_results.json']
+    if trained_model:
+        argv += ['--trained_model', trained_model,
+                 '--config', 'STMask_plus_resnet50']
+    args = eval_script.parse_args(argv)
     cfg, model, params = eval_script.load_model(args)
     stats = eval_script.evaluate_dataset_batched(args, cfg, model, params)
     fps = stats['e2e_fps']
@@ -119,8 +130,10 @@ if __name__ == '__main__':
                    help='benchmark the batched eval driver end-to-end '
                         '(host IO included) instead of the device step')
     p.add_argument('--batch_videos', type=int, default=8)
+    p.add_argument('--trained_model', default=None,
+                   help='checkpoint for --e2e (realistic detection counts)')
     a = p.parse_args()
     if a.e2e:
-        main_e2e(a.batch_videos)
+        main_e2e(a.batch_videos, trained_model=a.trained_model)
     else:
         main()

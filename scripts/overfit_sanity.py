@@ -81,6 +81,10 @@ def main():
     p.add_argument('--batch_size', type=int, default=4)
     p.add_argument('--lr', type=float, default=2e-3)
     p.add_argument('--out', default='/tmp/overfit_sanity')
+    p.add_argument('--save_ckpt', action='store_true',
+                   help='save the trained params (orbax) to <out>/ckpt — '
+                        'used by bench.py --e2e --trained_model for '
+                        'realistic-detection-count benchmarks')
     args = p.parse_args()
 
     import jax
@@ -124,6 +128,12 @@ def main():
                     if k not in ('total', 'lr'))
                 print(f'[{it:5d}] total={total:.3f} | {parts} | '
                       f'{(time.perf_counter() - t0) / it:.2f}s/it')
+
+    if args.save_ckpt:
+        import orbax.checkpoint as ocp
+        path = os.path.join(os.path.abspath(args.out), 'ckpt')
+        ocp.StandardCheckpointer().save(path, state.params, force=True)
+        print('saved params to', path)
 
     # ---- eval on the training videos (overfit check) ----
     import eval as eval_script

@@ -99,6 +99,19 @@ def preprocess_frame(cfg: STMaskConfig, img_rgb: np.ndarray,
     return out
 
 
+def preprocess_frame_u8(cfg: STMaskConfig, img_rgb: np.ndarray) -> Dict:
+    """Eval-path host preprocessing that stops at uint8: cv2 resize to
+    (img_w, img_h) only — normalization + padding happen ON DEVICE
+    (``build_video_step_batched(uint8_input=True)``), so each frame ships
+    ~0.66MB of uint8 instead of ~2.95MB of padded float32 over the
+    host→device link (the e2e eval bottleneck on remote-attached devices;
+    the reference's FastBaseTransform made the same host/device split,
+    ``utils/augmentations.py:619``)."""
+    return {'image': resize_image(img_rgb, (cfg.img_w, cfg.img_h)),
+            'img_shape': (cfg.img_h, cfg.img_w),
+            'pad_shape': (cfg.pad_h, cfg.pad_w)}
+
+
 def fast_base_transform(cfg: STMaskConfig):
     """Device-side resize + normalize + pad (the production input path —
     reference ``utils/augmentations.py:619`` FastBaseTransform runs the same

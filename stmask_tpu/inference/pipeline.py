@@ -93,7 +93,8 @@ def build_video_step(cfg: STMaskConfig, model: STMask, debug: bool = False):
 
 
 def build_video_step_batched(cfg: STMaskConfig, model: STMask,
-                             n_videos: int, chunk_size: int = 4):
+                             n_videos: int, chunk_size: int = 4,
+                             uint8_input: bool = False):
     """Step ``n_videos`` independent video streams in lockstep.
 
     Tracking is sequential *within* a video (reference ``track_TF.py:43``
@@ -107,8 +108,16 @@ def build_video_step_batched(cfg: STMaskConfig, model: STMask,
       video_chunk(params, states, frames [K, B, H, W, 3], is_first [K, B])
         -> (states, FrameOutput with leading [K, B])
       where ``states`` is a TrackState pytree with a leading [B] axis.
+
+    ``uint8_input=True`` takes frames as uint8 [K, B, img_h, img_w, 3]
+    (resized but NOT normalized/padded) and normalizes + pads on device —
+    4x less host->device traffic, numerically identical to host
+    normalization (same fp32 elementwise ops).
     """
     priors = jnp.asarray(all_priors(cfg))
+    from ..config import MEANS, STD
+    mean = jnp.asarray(MEANS, jnp.float32)
+    std = jnp.asarray(STD, jnp.float32)
 
     def batched_step(params, states, frames, is_first):
         param_dtype = jax.tree_util.tree_leaves(params)[0].dtype
@@ -149,6 +158,13 @@ def build_video_step_batched(cfg: STMaskConfig, model: STMask,
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def video_chunk(params, states, frames, is_first):
+        if uint8_input:
+            x = frames.astype(jnp.float32)
+            x = (x - mean) / std
+            frames = jnp.pad(x, ((0, 0), (0, 0),
+                                 (0, cfg.pad_h - cfg.img_h),
+                                 (0, cfg.pad_w - cfg.img_w), (0, 0)))
+
         def body(sts, inp):
             fr, first = inp
             return batched_step(params, sts, fr, first)

@@ -48,3 +48,37 @@ def test_batched_matches_sequential(setup):
                                       np.asarray(out.keep))
         np.testing.assert_array_equal(np.asarray(outs.obj_id)[k - 1, vi],
                                       np.asarray(out.obj_id))
+
+
+def test_uint8_input_matches_host_normalize(setup):
+    """uint8 upload + on-device normalize/pad == host float path."""
+    from stmask_tpu.config import MEANS, STD
+
+    model, params = setup
+    b, k = 2, 2
+    rng = np.random.RandomState(1)
+    u8 = rng.randint(0, 256, (k, b, TINY.img_h, TINY.img_w, 3), np.uint8)
+
+    host = np.zeros((k, b, TINY.pad_h, TINY.pad_w, 3), np.float32)
+    host[:, :, :TINY.img_h, :TINY.img_w] = \
+        (u8.astype(np.float32) - MEANS) / STD
+    is_first = np.zeros((k, b), bool)
+    is_first[0] = True
+
+    chunk_f, make_f = build_video_step_batched(TINY, model, b, k)
+    sf, outs_f = chunk_f(params, make_f(), jnp.asarray(host),
+                         jnp.asarray(is_first))
+
+    chunk_u, make_u = build_video_step_batched(TINY, model, b, k,
+                                               uint8_input=True)
+    su, outs_u = chunk_u(params, make_u(), jnp.asarray(u8),
+                         jnp.asarray(is_first))
+
+    np.testing.assert_array_equal(np.asarray(outs_f.keep),
+                                  np.asarray(outs_u.keep))
+    np.testing.assert_allclose(np.asarray(outs_f.box),
+                               np.asarray(outs_u.box), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(outs_f.score),
+                               np.asarray(outs_u.score), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(outs_f.mask),
+                               np.asarray(outs_u.mask), atol=1e-5)
