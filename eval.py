@@ -280,7 +280,11 @@ def evaluate_dataset_batched(args, cfg, model, params):
             frames[step, lane] = pre['image']
             metas[step][lane].update(img_shape=pre['img_shape'],
                                      pad_shape=pre['pad_shape'])
-        return (frames, first, metas) if any_active else None
+        if not any_active:
+            return None
+        # start the host->device copy now — next_chunk runs while the
+        # previous dispatch is still computing, so the upload overlaps it
+        return jax.device_put(frames), jnp.asarray(first), metas
 
     # compile outside the timed region (cold TPU compiles dominate).
     # NOTE: video_chunk donates its state arg, so keep the returned states
@@ -300,8 +304,7 @@ def evaluate_dataset_batched(args, cfg, model, params):
     while chunk is not None:
         frames, first, metas = chunk
         td = time.perf_counter()
-        states, outs = video_chunk(params, states, jnp.asarray(frames),
-                                   jnp.asarray(first))
+        states, outs = video_chunk(params, states, frames, first)
         if args.time_device:
             jax.block_until_ready(outs.box)
             device_s += time.perf_counter() - td

@@ -79,13 +79,27 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument('--steps', type=int, default=400)
     p.add_argument('--batch_size', type=int, default=4)
-    p.add_argument('--lr', type=float, default=2e-3)
+    # NOTE: losses are frame-SUMS at reference scale (8 frames at batch 4),
+    # so per-frame-mean-equivalent lr is /8 of the round-1 value 2e-3
+    p.add_argument('--lr', type=float, default=2.5e-4)
     p.add_argument('--out', default='/tmp/overfit_sanity')
     p.add_argument('--save_ckpt', action='store_true',
                    help='save the trained params (orbax) to <out>/ckpt — '
                         'used by bench.py --e2e --trained_model for '
                         'realistic-detection-count benchmarks')
+    p.add_argument('--cpu', action='store_true',
+                   help='force the CPU backend (debug runs)')
+    p.add_argument('--img_w', type=int, default=None)
+    p.add_argument('--img_h', type=int, default=None)
+    p.add_argument('--debug_nans', action='store_true')
     args = p.parse_args()
+
+    if args.cpu:
+        import jax as _jax
+        _jax.config.update('jax_platforms', 'cpu')
+    if args.debug_nans:
+        import jax as _jax
+        _jax.config.update('jax_debug_nans', True)
 
     import jax
     import jax.numpy as jnp
@@ -99,7 +113,14 @@ def main():
 
     cfg = get_config('STMask_plus_resnet50').replace(
         lr=args.lr, lr_warmup_until=100, lr_steps=(10 ** 9,),
-        max_iter=args.steps)
+        max_iter=args.steps,
+        # from-scratch training: let the BN affine learn (the stats stay
+        # frozen either way — see train_step._bn_freeze_labels)
+        freeze_bn=False)
+    if args.img_w:
+        cfg = cfg.replace(img_w=args.img_w)
+    if args.img_h:
+        cfg = cfg.replace(img_h=args.img_h)
     dataset = YTVISDataset(ann_file, img_prefix)
     loader = ClipLoader(cfg, dataset, args.batch_size, num_workers=8)
 

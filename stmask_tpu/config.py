@@ -202,6 +202,13 @@ class STMaskConfig:
     lr_warmup_init: float = 1e-4
     lr_warmup_until: int = 500
     freeze_bn: bool = True                # train.py:115-118 per-GPU batch < 6
+    # global-norm gradient clipping (0 = off). The reference has none, but
+    # with reference-scale frame-sum losses a single saturation spike can
+    # produce a finite loss with a >1e6 gradient and destroy the heads in
+    # one SGD step. Typical global norms are ~2e3 at init (logged per step
+    # as 'gnorm'), so 1e4 leaves normal dynamics untouched and caps only
+    # outlier steps.
+    grad_clip_norm: float = 1e4
 
     # ---- eval / NMS (reference config.py:425-436,714-730) ----
     nms_top_k: int = 200

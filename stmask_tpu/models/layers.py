@@ -29,7 +29,11 @@ class FrozenBatchNorm(nn.Module):
     (``train.py:115-118`` sets freeze_bn for small per-GPU batches;
     ``STMask.py:196-203``), and inference always uses running stats, so a
     frozen affine-normalization is the faithful (and XLA-fusable) form.
-    Stats live in params so checkpoint conversion is a flat mapping.
+    Stats live in params so checkpoint conversion is a flat mapping —
+    the optimizer masks them out (``train_step._bn_freeze_labels``); with
+    ``freeze_bn=False`` only scale/bias train (a learnable affine norm —
+    batch statistics are never computed, the one documented deviation
+    from live BatchNorm).
     """
     features: int
     eps: float = 1e-5

@@ -1,8 +1,11 @@
 """LR schedule: linear warmup + step decay, with batch-size autoscaling.
 
-Mirrors reference ``train.py:88-96`` (autoscale: lr/iters scaled by
-``batch_size/8``) and ``train.py:294-302`` (warmup from ``lr_warmup_init``
-over ``lr_warmup_until`` iters; gamma step decay at ``lr_steps``).
+Mirrors reference ``train.py:88-96`` (autoscale: the reference checks
+``batch_size*2 != 8`` and scales by ``batch_size*2/8`` — i.e. the
+published lr/iteration recipe's baseline is 4 clips = 8 FRAMES per step,
+matching the frame-sum loss normalization) and ``train.py:294-302``
+(warmup from ``lr_warmup_init`` over ``lr_warmup_until`` iters; gamma
+step decay at ``lr_steps``).
 """
 
 from __future__ import annotations
@@ -16,9 +19,10 @@ from ..config import STMaskConfig
 
 
 def autoscale(cfg: STMaskConfig, batch_size: int) -> STMaskConfig:
-    """Scale lr/max_iter/lr_steps for a non-default batch size
-    (reference train.py:88-96; default batch size 8)."""
-    factor = batch_size / 8.0
+    """Scale lr/max_iter/lr_steps for a non-default batch size in CLIPS
+    (reference train.py:88-96: ``factor = batch_size*2 / 8`` with 2 frames
+    per clip — recipe baseline 4 clips/8 frames)."""
+    factor = batch_size * 2 / 8.0
     if factor == 1.0:
         return cfg
     return cfg.replace(

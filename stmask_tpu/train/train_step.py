@@ -33,13 +33,37 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
+def _bn_freeze_labels(cfg: STMaskConfig, params):
+    """'frozen' for FrozenBatchNorm stats (mean/var — NEVER trainable; they
+    are running statistics stored as params only for flat checkpoint
+    mapping) and, under ``cfg.freeze_bn``, also for BN scale/bias
+    (reference STMask.freeze_bn, STMask.py:196-203: ``module.eval()`` +
+    ``requires_grad=False`` on every BatchNorm2d)."""
+    def label(path, _):
+        names = [str(getattr(k, 'key', k)) for k in path]
+        in_bn = any(n in ('bn1', 'bn2', 'bn3') or n.endswith('_bn')
+                    for n in names)
+        if in_bn and names[-1] in ('mean', 'var'):
+            return 'frozen'
+        if in_bn and cfg.freeze_bn and names[-1] in ('scale', 'bias'):
+            return 'frozen'
+        return 'train'
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
 def make_optimizer(cfg: STMaskConfig) -> optax.GradientTransformation:
     def lr_fn(step):
         return learning_rate(cfg, step)
-    return optax.chain(
+    base = optax.chain(
         optax.add_decayed_weights(cfg.decay),
         optax.sgd(learning_rate=lr_fn, momentum=cfg.momentum),
     )
+    # NOTE: without this mask, SGD happily "trains" the frozen-BN running
+    # statistics through their gradients — and a variance pushed below
+    # -eps makes rsqrt(var+eps) NaN with perfectly finite params.
+    return optax.multi_transform(
+        {'train': base, 'frozen': optax.set_to_zero()},
+        lambda params: _bn_freeze_labels(cfg, params))
 
 
 def build_train_step(cfg: STMaskConfig, model: STMask,
@@ -115,10 +139,21 @@ def build_train_step(cfg: STMaskConfig, model: STMask,
         (total, losses), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch)
 
-        # skip the update when the loss is non-finite (train.py:314-316)
-        finite = jnp.isfinite(total)
+        # skip the update when the loss OR any gradient is non-finite
+        # (extends reference train.py:314-316 — a finite loss with an
+        # inf/nan gradient would silently wreck the weights in one step)
+        gnorm = optax.global_norm(grads)
+        finite = jnp.isfinite(total) & jnp.isfinite(gnorm)
+        if cfg.grad_clip_norm > 0:
+            # one outlier step (saturation spikes) can otherwise move the
+            # heads by orders of magnitude and destabilize the whole run
+            scale = jnp.minimum(1.0, cfg.grad_clip_norm
+                                / jnp.maximum(gnorm, 1e-12))
+        else:
+            scale = 1.0
         grads = jax.tree_util.tree_map(
-            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+            lambda g: jnp.where(finite, g * scale, jnp.zeros_like(g)),
+            grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_params = jax.tree_util.tree_map(
@@ -128,6 +163,7 @@ def build_train_step(cfg: STMaskConfig, model: STMask,
 
         metrics = dict(losses)
         metrics['total'] = total
+        metrics['gnorm'] = gnorm
         metrics['lr'] = learning_rate(cfg, state.step)
         return TrainState(new_params, new_opt, state.step + 1), metrics
 

@@ -101,11 +101,13 @@ def test_lr_schedule():
 
 
 def test_autoscale():
+    # reference train.py:88-96: factor = batch*2/8 (baseline 4 clips)
     cfg = autoscale(TINY.replace(lr=1e-3, max_iter=1000, lr_steps=(500,)),
-                    batch_size=16)
+                    batch_size=8)
     assert np.isclose(cfg.lr, 2e-3)
     assert cfg.max_iter == 500
     assert cfg.lr_steps == (250,)
+    assert autoscale(TINY.replace(lr=1e-3), batch_size=4).lr == 1e-3
 
 
 def test_train_step_sharded_8_devices(setup):
@@ -119,3 +121,36 @@ def test_train_step_sharded_8_devices(setup):
     state2, metrics = train_step(state, batch)
     assert np.isfinite(float(metrics['total']))
     assert int(state2.step) == 1
+
+
+def test_frozen_bn_params_do_not_update(setup):
+    """FrozenBatchNorm stats must never move (they are running statistics,
+    not weights — SGD updating them can push var negative and NaN the
+    whole forward via rsqrt), and with freeze_bn the BN affine is frozen
+    too (reference STMask.freeze_bn)."""
+    model, params = setup
+
+    def bn_leaves(tree, wanted):
+        out = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            names = [str(getattr(k, 'key', k)) for k in path]
+            if any(n in ('bn1', 'bn2', 'bn3') or n.endswith('_bn')
+                   for n in names) and names[-1] in wanted:
+                out[jax.tree_util.keystr(path)] = np.asarray(leaf)
+        return out
+
+    batch = _synthetic_batch(TINY)
+    for freeze, affine_may_move in ((True, False), (False, True)):
+        cfg = TINY.replace(freeze_bn=freeze, lr=1e-2, lr_warmup_until=0)
+        train_step, init_state = build_train_step(cfg, model)
+        state2, _ = train_step(init_state(params), batch)
+
+        stats0 = bn_leaves(params, ('mean', 'var'))
+        stats1 = bn_leaves(state2.params, ('mean', 'var'))
+        for k in stats0:
+            np.testing.assert_array_equal(stats0[k], stats1[k], err_msg=k)
+
+        aff0 = bn_leaves(params, ('scale', 'bias'))
+        aff1 = bn_leaves(state2.params, ('scale', 'bias'))
+        moved = any(not np.array_equal(aff0[k], aff1[k]) for k in aff0)
+        assert moved == affine_may_move, f'freeze_bn={freeze}'
