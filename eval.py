@@ -296,19 +296,9 @@ def evaluate_dataset_batched(args, cfg, model, params):
         jnp.zeros((k, b), bool))
     jax.block_until_ready(warm.box)
 
-    t0 = time.perf_counter()
-    n_frames = 0
-    device_s = 0.0
-    per_frame = []
-    chunk = next_chunk()
-    while chunk is not None:
-        frames, first, metas = chunk
-        td = time.perf_counter()
-        states, outs = video_chunk(params, states, frames, first)
-        if args.time_device:
-            jax.block_until_ready(outs.box)
-            device_s += time.perf_counter() - td
-        nxt = next_chunk()            # overlap host IO with device compute
+    def drain(outs, metas):
+        """Fetch one chunk's kept outputs and postprocess (threads: cv2 and
+        the C++ RLE codec release the GIL)."""
         small, keep_idx, kept_masks = _fetch_kept(outs)
         todo = []
         for step in range(k):
@@ -318,14 +308,35 @@ def evaluate_dataset_batched(args, cfg, model, params):
                     continue
                 todo.append((_compact_frame(small, keep_idx, kept_masks,
                                             lead=(step, lane)), meta))
-                n_frames += 1
-        # postprocess in threads: cv2 resize and the C++ RLE codec release
-        # the GIL, so per-frame upsample+encode parallelizes
         per_frame.extend(pool.map(
             lambda fm: postprocess_frame(
                 cfg, fm[0], fm[1], score_threshold=args.score_threshold),
             todo))
-        chunk = nxt
+        return len(todo)
+
+    # Pipeline with depth 2: the (latency-heavy, on remote-attached
+    # devices) output fetch of chunk N overlaps the upload + compute of
+    # chunk N+1 — dispatches never wait on host postprocessing.
+    from collections import deque
+    t0 = time.perf_counter()
+    n_frames = 0
+    device_s = 0.0
+    per_frame = []
+    pending = deque()
+    chunk = next_chunk()
+    while chunk is not None or pending:
+        if chunk is not None and (len(pending) < 2 or args.time_device):
+            frames, first, metas = chunk
+            td = time.perf_counter()
+            states, outs = video_chunk(params, states, frames, first)
+            if args.time_device:
+                jax.block_until_ready(outs.box)
+                device_s += time.perf_counter() - td
+            pending.append((outs, metas))
+            chunk = next_chunk()      # overlap host IO with device compute
+            if chunk is not None and len(pending) < 2:
+                continue
+        n_frames += drain(*pending.popleft())
 
     dt = time.perf_counter() - t0
     fps = {'e2e_fps': n_frames / dt, 'n_frames': n_frames}
