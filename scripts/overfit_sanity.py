@@ -92,6 +92,9 @@ def main():
     p.add_argument('--img_w', type=int, default=None)
     p.add_argument('--img_h', type=int, default=None)
     p.add_argument('--debug_nans', action='store_true')
+    p.add_argument('--bf16', action='store_true',
+                   help='bf16 mixed-precision train step '
+                        '(build_train_step compute_dtype)')
     args = p.parse_args()
 
     if args.cpu:
@@ -127,7 +130,9 @@ def main():
     model = STMask(cfg)
     x0 = jnp.zeros((1, 2, cfg.pad_h, cfg.pad_w, 3))
     params = model.init(jax.random.PRNGKey(0), x0, train=True)
-    train_step, init_state = build_train_step(cfg, model)
+    train_step, init_state = build_train_step(
+        cfg, model,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None)
     state = init_state(params)
 
     it = 0
