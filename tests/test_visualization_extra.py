@@ -169,3 +169,52 @@ def test_metrics_only_tensorboard(tmp_path):
         capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
     assert r.returncode == 0, r.stderr
     assert any(f.startswith('events') for f in os.listdir(tb))
+
+
+def test_eval_display_lincomb_cli(tmp_path):
+    """eval.py --sequential --display --display_lincomb end-to-end: overlay
+    PNGs and prototype-grid PNGs written from the debug video step."""
+    pytest.importorskip('cv2')
+    import numpy as np
+
+    cv2 = __import__('cv2')
+    from stmask_tpu.utils import rle as rle_util
+
+    img_dir = tmp_path / 'imgs' / 'v1'
+    os.makedirs(img_dir)
+    rng = np.random.RandomState(0)
+    h, w = 96, 128
+    names, segs, bboxes = [], [], []
+    for f in range(2):
+        img = rng.randint(0, 255, (h, w, 3), np.uint8)
+        img[20:60, 30:80] = (250, 50, 50)
+        name = f'v1/f{f}.jpg'
+        cv2.imwrite(str(tmp_path / 'imgs' / name), img)
+        names.append(name)
+        m = np.zeros((h, w), np.uint8)
+        m[20:60, 30:80] = 1
+        segs.append(rle_util.encode(m))
+        bboxes.append([30, 20, 50, 40])
+    ann = {'videos': [{'id': 1, 'file_names': names, 'height': h,
+                       'width': w}],
+           'annotations': [{'id': 1, 'video_id': 1, 'category_id': 1,
+                            'segmentations': segs, 'bboxes': bboxes}],
+           'categories': [{'id': 1, 'name': 'a'}]}
+    (tmp_path / 'ann.json').write_text(json.dumps(ann))
+
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'eval.py'),
+         '--config', 'STMask_plus_resnet50', '--img_w', '128',
+         '--img_h', '96', '--sequential', '--display', '--display_lincomb',
+         '--ann_file', str(tmp_path / 'ann.json'),
+         '--img_prefix', str(tmp_path / 'imgs'),
+         '--display_dir', str(tmp_path / 'disp'),
+         '--mask_det_file', str(tmp_path / 'res.json')],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=1500)
+    assert r.returncode == 0, r.stderr[-2000:]
+    files = os.listdir(tmp_path / 'disp')
+    assert '00001_0000.png' in files and '00001_0001.png' in files
+    # proto grids appear when any detection was kept (random weights may
+    # keep none on a given frame — require the directory to exist)
+    assert (tmp_path / 'res.json').exists()
