@@ -164,7 +164,13 @@ def merge_candidates(cand: Detections,
                      shifted: Detections) -> Detections:
     """Merge current detections with shifted reference candidates into one
     fixed-capacity, score-sorted set (reference TF_utils.py:85-96
-    merge_candidates; used by multi-clip evaluation variants)."""
+    merge_candidates).
+
+    Parity with reference DEAD CODE: the reference exports this from
+    ``layers/functions/__init__.py:5`` but never calls it from its main
+    eval path (``track_TF.py`` does not use it); it is kept here, unit-
+    tested, for the same multi-clip evaluation variants — deliberately
+    unwired, exactly like the reference."""
     import jax.numpy as jnp
 
     def cat(a, b):
@@ -284,14 +290,23 @@ def _apply_assignment(state: TrackState, det: Detections,
         next_id=state.next_id + asn.num_new)
 
 
-def assign_ids(cfg: STMaskConfig, det: Detections, det_masks: jax.Array,
-               state: TrackState) -> TrackState:
+def assign_ids(cfg: STMaskConfig, det: Detections, det_masks_match: jax.Array,
+               det_masks_bank: jax.Array, state: TrackState) -> TrackState:
     """Greedy detection->track assignment with conflict resolution
-    (reference track_TF.py:125-156), fully vectorized."""
-    comp = _comp_scores(cfg, det, det_masks, state)              # [D, T+1]
+    (reference track_TF.py:125-156), fully vectorized.
+
+    The det mask plays two distinct roles in the reference and they are NOT
+    the same tensor: match scoring uses the *binarized* mask
+    (``det_masks_soft.gt(0.5)``, track_TF.py:83, consumed by ``mask_iou`` at
+    :111) while the bank stores the *soft* mask
+    (``candidate['mask'] = det_masks_soft``, track_TF.py:82).  Pass them
+    separately — ``det_masks_match`` feeds ``_comp_scores``,
+    ``det_masks_bank`` is what matched/allocated slots copy.
+    """
+    comp = _comp_scores(cfg, det, det_masks_match, state)        # [D, T+1]
     match_ids = jnp.argmax(comp, axis=1)                         # [D]
     asn = resolve_assignment(cfg, match_ids, det.valid, det.score, state)
-    return _apply_assignment(state, det, det_masks, asn, asn.has_winner)
+    return _apply_assignment(state, det, det_masks_bank, asn, asn.has_winner)
 
 
 class FrameOutput(NamedTuple):
@@ -329,15 +344,11 @@ def track_step_tf(cfg: STMaskConfig, temporal_net_fn, state: TrackState,
         lambda a, b: jnp.where(jnp.reshape(has_prev, (1,) * a.ndim), a, b),
         shifted, state)
 
-    # current-frame detection masks
+    # current-frame detection masks: binarized for match scoring
+    # (track_TF.py:83,111), soft for the bank (track_TF.py:82)
     det_masks_soft = generate_mask(cur_proto, det.mask_coeff, det.box)
     det_masks = (det_masks_soft > 0.5).astype(jnp.float32)
-
-    # greedy matching / new-track allocation; detections that carry a soft
-    # mask into the bank use the *soft* mask (reference stores
-    # candidate['mask'] = det_masks_soft)
-    det_for_bank = det
-    state = assign_ids(cfg, det_for_bank, det_masks_soft, state)
+    state = assign_ids(cfg, det, det_masks, det_masks_soft, state)
 
     # output keep conditions (reference track_TF.py:158-165)
     mask_area = jnp.sum(state.mask > 0.5, axis=(1, 2))
@@ -391,6 +402,9 @@ def track_step_simple(cfg: STMaskConfig, state: TrackState, det: Detections,
     state = _apply_assignment(state, det, det_masks, asn, update_winners)
 
     keep = det.valid & (det_ids >= 0)
+    # the reference's simple tracker outputs the BINARIZED masks
+    # (track.py:90-91 ``detection['mask'] = det_masks``), unlike Track_TF
+    # which carries soft masks through the bank
     out = FrameOutput(box=det.box, score=det.score, cls=det.cls,
-                      mask=det_masks_soft, obj_id=det_ids, keep=keep)
+                      mask=det_masks, obj_id=det_ids, keep=keep)
     return state, out

@@ -146,3 +146,69 @@ def test_simple_track_outputs_detections():
     keep2 = np.asarray(out2.keep)
     assert keep2.sum() == 1
     assert np.asarray(out2.obj_id)[keep2][0] == 1
+
+
+def test_tf_match_scores_use_binarized_det_masks():
+    """Parity: match-score mask IoU uses BINARIZED det masks while the bank
+    stores the soft mask (reference track_TF.py:83,111 vs :82).
+
+    The frame-2 detection's soft mask has a small >0.5 core identical to
+    track A's mask plus a large 0.45 sub-threshold halo covering track B's
+    mask.  Binary-mask IoU (reference) matches A decisively; soft-mask IoU
+    flips the match to B.
+    """
+    core = (slice(0, 2), slice(0, 4))      # 8 px
+    halo = (slice(8, 16), slice(0, 16))    # 128 px
+    proto = np.zeros((HP, WP, 32), np.float32)
+    proto[..., 1] = -8.0
+    proto[core[0], core[1], 1] = 8.0       # track A mask = core
+    proto[..., 2] = -8.0
+    proto[halo[0], halo[1], 2] = 8.0       # track B mask = halo
+    proto[..., 3] = -8.0                   # det mask: core ~1, halo ~0.45
+    proto[halo[0], halo[1], 3] = -0.2
+    proto[core[0], core[1], 3] = 8.0
+    proto = jnp.asarray(proto)
+
+    def det_ch(chans, scores, classes):
+        n = len(chans)
+        box = np.zeros((D, 4), np.float32)
+        score = np.zeros((D,), np.float32)
+        cls = np.zeros((D,), np.int32)
+        coeff = np.zeros((D, 32), np.float32)
+        track = np.zeros((D, E), np.float32)
+        center = np.zeros((D,), np.float32)
+        valid = np.zeros((D,), bool)
+        for i in range(n):
+            box[i] = [0.0, 0.0, 1.0, 1.0]  # identical boxes: bbox IoU ties
+            score[i] = scores[i]
+            cls[i] = classes[i]
+            coeff[i, chans[i]] = 8.0
+            track[i, 0] = 1.0              # identical embeddings: cosine ties
+            center[i] = 1.0
+            valid[i] = True
+        return Detections(*(jnp.asarray(a) for a in
+                            (box, score, cls, coeff, track, center, valid)))
+
+    state = init_state(CFG, (H4, W4), (HP, WP), C4, E)
+    f = _feat()
+    state, out1 = track_step_tf(CFG, _tnet, state, det_ch([1, 2], [0.9, 0.8],
+                                                          [3, 5]),
+                                proto, f, f, jnp.asarray(True))
+    ids1 = np.asarray(out1.obj_id)[np.asarray(out1.keep)]
+    cls1 = np.asarray(out1.cls)[np.asarray(out1.keep)]
+    assert set(ids1.tolist()) == {0, 1}
+    id_a = int(ids1[cls1 == 3][0])
+
+    state, _ = track_step_tf(CFG, _tnet, state, det_ch([3], [0.9], [7]),
+                             proto, f, f, jnp.asarray(False))
+    sv = np.asarray(state.valid)
+    scls = np.asarray(state.cls)
+    matched = sv & (scls == 7)
+    assert matched.sum() == 1, "det should refresh exactly one track"
+    assert int(np.asarray(state.obj_id)[matched][0]) == id_a, (
+        "binary-mask IoU must match track A (core); a match to track B "
+        "means soft masks leaked into the comp-score mask IoU")
+    # the bank must still store the SOFT det mask (track_TF.py:82): the
+    # 0.45 halo is present in the stored mask
+    stored = np.asarray(state.mask)[matched][0]
+    assert np.all(np.abs(stored[8:, :] - 0.45) < 0.01)
