@@ -56,9 +56,20 @@ def _ali_offsets(shape: jax.Array, ks: Tuple[int, int]) -> jax.Array:
 
 
 def _focal_conf_bias_init(cfg: STMaskConfig, n_scales: int):
-    """Focal-loss conf bias init (reference STMask.py:180-184): background
-    starts near-certain (+log((1-pi)/pi)), classes near-zero probability
-    (-log((1-pi)/pi)); channel layout scale-major, class-minor."""
+    """Focal-loss conf bias init: background starts near-certain
+    (+log((1-pi)/pi)), classes near-zero probability (-log((1-pi)/pi)).
+
+    DELIBERATE DEVIATION from reference STMask.py:181-184 (documented in
+    PARITY.md): the reference concatenates ``data0.repeat(num_priors)``
+    followed by ``data1.repeat((num_classes-1)*num_priors)`` — under its
+    prior-major/class-minor channel layout that fills the first
+    ``num_priors`` *channels* (prior 0's classes 0..C-1) with the
+    background bias instead of each prior's background channel, i.e. the
+    reference init itself misses the RetinaNet intent for priors > 0.
+    Here each prior's class-0 channel gets the background bias under the
+    scale-major/class-minor layout — the intent-correct RetinaNet init.
+    Only affects from-scratch focal-loss training (checkpoint loads
+    overwrite it)."""
     pi = cfg.focal_loss_init_pi
     import numpy as np
     b0 = float(np.log((1.0 - pi) / pi))

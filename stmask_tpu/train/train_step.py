@@ -139,6 +139,14 @@ def build_train_step(cfg: STMaskConfig, model: STMask,
         (total, losses), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch)
 
+        # frozen leaves (BN stats / frozen affine) never update — zero
+        # their grads up front so the clip threshold, the logged 'gnorm',
+        # and the finite-check all reflect *trainable* dynamics only
+        labels = _bn_freeze_labels(cfg, grads)
+        grads = jax.tree_util.tree_map(
+            lambda g, l: g if l == 'train' else jnp.zeros_like(g),
+            grads, labels)
+
         # skip the update when the loss OR any gradient is non-finite
         # (extends reference train.py:314-316 — a finite loss with an
         # inf/nan gradient would silently wreck the weights in one step)
