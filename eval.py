@@ -43,6 +43,10 @@ def parse_args(argv=None):
                    help='with --display, also write the prototype '
                         'linear-combination breakdown of the top detection '
                         '(reference eval.py:91, output_utils.py:168)')
+    p.add_argument('--display_fpn_outs', action='store_true',
+                   help='with --display, also write channel-activation '
+                        'grids of each FPN level (reference eval.py:65, '
+                        'output_utils.py:225-244)')
     p.add_argument('--display_dir', default='results/display')
     p.add_argument('--batch_videos', type=int, default=8,
                    help='video streams stepped in lockstep (throughput)')
@@ -124,7 +128,11 @@ def _write_display(args, cfg, pre, out, vid, f):
     os.makedirs(args.display_dir, exist_ok=True)
     keep = np.asarray(out.keep)
     img_h, img_w = pre['img_shape']
-    img = undo_image_transformation(np.asarray(pre['image']), img_h, img_w)
+    im = np.asarray(pre['image'])
+    if im.dtype == np.uint8:        # uint8 upload path: already RGB uint8
+        img = im[:img_h, :img_w]
+    else:
+        img = undo_image_transformation(im, img_h, img_w)
     idx = np.nonzero(keep)[0]
     pad_h, pad_w = pre['pad_shape']
     boxes = np.asarray(out.box)[idx] * [pad_w, pad_h, pad_w, pad_h]
@@ -152,6 +160,23 @@ def _write_lincomb(args, dbg, vid, f):
     coeff = np.tanh(np.asarray(dbg['mask_coeff'], np.float32)[top])
     grids = display_lincomb(np.asarray(dbg['proto'], np.float32), coeff)
     out_dir = os.path.join(args.display_dir, 'proto')
+    os.makedirs(out_dir, exist_ok=True)
+    for name, g in grids.items():
+        gmin, gmax = float(g.min()), float(g.max())
+        img = ((g - gmin) / max(gmax - gmin, 1e-6) * 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(out_dir,
+                                 f'{vid:05d}_{f:04d}_{name}.png'), img)
+
+
+def _write_fpn_outs(args, dbg, vid, f):
+    """Channel-activation grids of each FPN level (reference
+    --display_fpn_outs, output_utils.py:225-244)."""
+    import cv2
+    import numpy as np
+    from stmask_tpu.utils.visualization import display_fpn_outs
+    grids = display_fpn_outs([np.asarray(x, np.float32)
+                              for x in dbg['fpn_outs']])
+    out_dir = os.path.join(args.display_dir, 'fpn')
     os.makedirs(out_dir, exist_ok=True)
     for name, g in grids.items():
         gmin, gmax = float(g.min()), float(g.max())
@@ -370,7 +395,7 @@ def evaluate_dataset(args, cfg, model, params):
     import jax.numpy as jnp
     import numpy as np
     from stmask_tpu.data import YTVISDataset, load_image_rgb
-    from stmask_tpu.data.transforms import preprocess_frame
+    from stmask_tpu.data.transforms import preprocess_frame_u8
     from stmask_tpu.inference import (build_video_step, postprocess_frame,
                                       results2json_videoseg)
     from stmask_tpu.utils.logger import StageTimer
@@ -378,7 +403,12 @@ def evaluate_dataset(args, cfg, model, params):
     dataset = YTVISDataset(args.ann_file, args.img_prefix,
                            has_annotations=args.eval_metrics)
     debug = args.display and args.display_lincomb
-    video_step, make_state = build_video_step(cfg, model, debug=debug)
+    debug_fpn = args.display and args.display_fpn_outs
+    # uint8 upload + on-device normalize/pad — same transfer regime as the
+    # batched driver (commit 19cd398), so --benchmark/--display measure it
+    video_step, make_state = build_video_step(cfg, model, debug=debug,
+                                              uint8_input=True,
+                                              debug_fpn=debug_fpn)
 
     timer = StageTimer()
     results = []
@@ -396,10 +426,10 @@ def evaluate_dataset(args, cfg, model, params):
         for f in range(nf):
             with timer.env('load'):
                 img = load_image_rgb(dataset.frame_path(vid, f))
-                pre = preprocess_frame(cfg, img)
+                pre = preprocess_frame_u8(cfg, img)
                 frame = jnp.asarray(pre['image'])
             with timer.env('step'):
-                if debug:
+                if debug or debug_fpn:
                     state, out, dbg = video_step(params, state, frame,
                                                  jnp.asarray(f == 0))
                 else:
@@ -417,6 +447,8 @@ def evaluate_dataset(args, cfg, model, params):
                 _write_display(args, cfg, pre, out, vid, f)
                 if debug:
                     _write_lincomb(args, dbg, vid, f)
+                if debug_fpn:
+                    _write_fpn_outs(args, dbg, vid, f)
             n_frames += 1
             if args.benchmark and n_frames == 5:
                 t_start = time.perf_counter()   # exclude warmup
@@ -451,7 +483,7 @@ def evaluate_video_dir(args, cfg, model, params):
     import jax.numpy as jnp
     import numpy as np
     from stmask_tpu.data import load_image_rgb
-    from stmask_tpu.data.transforms import preprocess_frame
+    from stmask_tpu.data.transforms import preprocess_frame_u8
     from stmask_tpu.inference import (build_video_step, postprocess_frame,
                                       results2json_videoseg)
 
@@ -460,12 +492,12 @@ def evaluate_video_dir(args, cfg, model, params):
     if not frames:
         print('no frames found in', args.video_dir)
         return
-    video_step, make_state = build_video_step(cfg, model)
+    video_step, make_state = build_video_step(cfg, model, uint8_input=True)
     state = make_state()
     results = []
     for f, path in enumerate(frames):
         img = load_image_rgb(path)
-        pre = preprocess_frame(cfg, img)
+        pre = preprocess_frame_u8(cfg, img)
         state, out = video_step(params, state, jnp.asarray(pre['image']),
                                 jnp.asarray(f == 0))
         out = _compact_frame(*_fetch_kept(out))

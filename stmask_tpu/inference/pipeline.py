@@ -29,13 +29,13 @@ from .tracker import (FrameOutput, TrackState, init_state, track_step_simple,
 
 
 def _make_step_fn(cfg: STMaskConfig, model: STMask, priors: jax.Array,
-                  debug: bool = False):
+                  debug: bool = False, debug_fpn: bool = False):
     def step_fn(params, state: TrackState, frame: jax.Array,
                 is_first: jax.Array) -> Tuple[TrackState, FrameOutput]:
         # compute in the parameter dtype (bf16 params -> bf16 convs)
         param_dtype = jax.tree_util.tree_leaves(params)[0].dtype
         preds = model.apply(params, frame[None].astype(param_dtype),
-                            train=False)
+                            train=False, return_fpn_outs=debug_fpn)
         frame_preds = {
             'loc': preds['loc'][0],
             'conf': preds['conf'][0],
@@ -60,27 +60,47 @@ def _make_step_fn(cfg: STMaskConfig, model: STMask, priors: jax.Array,
                                        proto, fpn_feat, t2s_feat, is_first)
         else:
             state, out = track_step_simple(cfg, state, det, proto, is_first)
-        if debug:
+        if debug or debug_fpn:
             # pre-tracking NMS detections, for display_lincomb etc.
-            return state, out, {'proto': proto,
-                                'mask_coeff': det.mask_coeff,
-                                'det_valid': det.valid}
+            dbg = {'proto': proto,
+                   'mask_coeff': det.mask_coeff,
+                   'det_valid': det.valid}
+            if debug_fpn:
+                dbg['fpn_outs'] = tuple(f[0] for f in preds['fpn_outs'])
+            return state, out, dbg
         return state, out
 
     return step_fn
 
 
-def build_video_step(cfg: STMaskConfig, model: STMask, debug: bool = False):
+def build_video_step(cfg: STMaskConfig, model: STMask, debug: bool = False,
+                     uint8_input: bool = False, debug_fpn: bool = False):
     """Returns (video_step, make_init_state).
 
     video_step(params, state, frame[H, W, 3], is_first) is jitted; frame is
-    the already normalized padded image.  ``debug=True`` additionally
-    returns {'proto', 'mask_coeff', 'det_valid'} of the pre-tracking
-    detections (the ``--display_lincomb`` surface).
+    the already normalized padded image — or, with ``uint8_input=True``,
+    a resized uint8 [img_h, img_w, 3] frame normalized + padded ON DEVICE
+    (4x less host->device traffic; same regime as the batched driver).
+    ``debug=True`` additionally returns {'proto', 'mask_coeff',
+    'det_valid'} of the pre-tracking detections (the ``--display_lincomb``
+    surface).
     """
     priors = jnp.asarray(all_priors(cfg))
-    step_fn = _make_step_fn(cfg, model, priors, debug=debug)
-    video_step = jax.jit(step_fn, donate_argnums=(1,))
+    step_fn = _make_step_fn(cfg, model, priors, debug=debug,
+                            debug_fpn=debug_fpn)
+    if uint8_input:
+        from ..config import MEANS, STD
+        mean = jnp.asarray(MEANS, jnp.float32)
+        std = jnp.asarray(STD, jnp.float32)
+
+        def outer(params, state, frame, is_first):
+            x = (frame.astype(jnp.float32) - mean) / std
+            frame = jnp.pad(x, ((0, cfg.pad_h - cfg.img_h),
+                                (0, cfg.pad_w - cfg.img_w), (0, 0)))
+            return step_fn(params, state, frame, is_first)
+    else:
+        outer = step_fn
+    video_step = jax.jit(outer, donate_argnums=(1,))
 
     def make_init_state(feat_dtype=jnp.float32) -> TrackState:
         feat_shape = cfg.feature_shapes()[cfg.correlation_selected_layer]

@@ -99,7 +99,11 @@ class STMask(nn.Module):
         pred_outs['T2S_feat'] = t2s_feats[c.correlation_selected_layer]
         return fpn_outs, pred_outs
 
-    def __call__(self, x: jax.Array, train: bool = False):
+    def __call__(self, x: jax.Array, train: bool = False,
+                 return_fpn_outs: bool = False):
+        """``return_fpn_outs`` (eval only) adds the full P3..P7 pyramid to
+        the outputs — the --display_fpn_outs debug surface (reference
+        eval.py:65, output_utils.py:225-244)."""
         c = self.cfg
         if self.is_initializing():
             # touch path-dependent submodules so their params exist
@@ -160,6 +164,8 @@ class STMask(nn.Module):
             pred_outs['conf'] = jax.nn.softmax(pred_outs['conf'], axis=-1)
             if c.temporal_fusion_module:
                 pred_outs['fpn_feat'] = fpn_outs[c.correlation_selected_layer]
+            if return_fpn_outs:
+                pred_outs['fpn_outs'] = tuple(fpn_outs)
             return pred_outs
 
     def temporal_shift(self, bbox_feats: jax.Array):

@@ -241,3 +241,28 @@ def save_train_output(cfg: STMaskConfig, model, params, batch: Dict,
             cv2.imwrite(os.path.join(
                 out_dir, f'{epoch}_{iteration}_{i}_{name}.png'),
                 cv2.cvtColor(im, cv2.COLOR_RGB2BGR))
+
+
+def display_fpn_outs(fpn_outs, grid: tuple = (4, 4)) -> Dict[str, np.ndarray]:
+    """Channel-activation grids of the FPN pyramid (reference
+    ``layers/output_utils.py:225-244`` display_fpn_outs / ``eval.py:65``
+    --display_fpn_outs).
+
+    Args:
+      fpn_outs: sequence of [h, w, c] feature maps (P3..P7, NHWC — the
+        reference tiles the first ``grid[0]*grid[1]`` channels of each
+        NCHW level; same channels, TPU layout).
+    Returns:
+      {'P3': [h*rows, w*cols], 'P4': ..., ...} one tiled grid per level.
+    """
+    rows, cols = grid
+    grids = {}
+    for lvl, feat in enumerate(fpn_outs):
+        f = np.asarray(feat, np.float32)
+        h, w, c = f.shape
+        arr = np.zeros((h * rows, w * cols), np.float32)
+        for i in range(min(rows * cols, c)):
+            y, x = divmod(i, cols)
+            arr[y * h:(y + 1) * h, x * w:(x + 1) * w] = f[..., i]
+        grids[f'P{lvl + 3}'] = arr
+    return grids

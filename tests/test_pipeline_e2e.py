@@ -90,3 +90,28 @@ def test_video_step_state_carries(model_and_params):
     # fpn features stored for the next frame's correlation
     assert np.asarray(jnp.abs(s1.fpn_feat)).sum() >= 0  # finite
     assert np.all(np.isfinite(np.asarray(s1.fpn_feat)))
+
+
+def test_video_step_uint8_matches_fp32(model_and_params):
+    """uint8 upload + on-device normalize/pad (the sequential eval driver's
+    transfer regime) is numerically identical to host preprocessing."""
+    from stmask_tpu.data.transforms import preprocess_frame, \
+        preprocess_frame_u8
+    model, params = model_and_params
+    vs_f, ms_f = build_video_step(TINY, model)
+    vs_u, ms_u = build_video_step(TINY, model, uint8_input=True)
+
+    img = np.random.RandomState(3).randint(
+        0, 255, (TINY.img_h, TINY.img_w, 3), np.uint8)
+    pre_f = preprocess_frame(TINY, img)
+    pre_u = preprocess_frame_u8(TINY, img)
+    _, o_f = vs_f(params, ms_f(), jnp.asarray(pre_f['image']),
+                  jnp.asarray(True))
+    _, o_u = vs_u(params, ms_u(), jnp.asarray(pre_u['image']),
+                  jnp.asarray(True))
+    np.testing.assert_allclose(np.asarray(o_f.box), np.asarray(o_u.box),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_f.score),
+                               np.asarray(o_u.score), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(o_f.keep),
+                                  np.asarray(o_u.keep))

@@ -207,6 +207,7 @@ def test_eval_display_lincomb_cli(tmp_path):
         [sys.executable, os.path.join(REPO, 'eval.py'),
          '--config', 'STMask_plus_resnet50', '--img_w', '128',
          '--img_h', '96', '--sequential', '--display', '--display_lincomb',
+         '--display_fpn_outs',
          '--ann_file', str(tmp_path / 'ann.json'),
          '--img_prefix', str(tmp_path / 'imgs'),
          '--display_dir', str(tmp_path / 'disp'),
@@ -218,3 +219,22 @@ def test_eval_display_lincomb_cli(tmp_path):
     # proto grids appear when any detection was kept (random weights may
     # keep none on a given frame — require the directory to exist)
     assert (tmp_path / 'res.json').exists()
+    # FPN channel grids are written unconditionally per frame
+    fpn_files = os.listdir(tmp_path / 'disp' / 'fpn')
+    for lvl in ('P3', 'P4', 'P5', 'P6', 'P7'):
+        assert f'00001_0000_{lvl}.png' in fpn_files
+
+
+def test_display_fpn_outs_grids():
+    import numpy as np
+    from stmask_tpu.utils.visualization import display_fpn_outs
+    feats = [np.random.RandomState(i).randn(8 // (1 << i) + 1,
+                                            12 // (1 << i) + 1,
+                                            24).astype(np.float32)
+             for i in range(2)]
+    grids = display_fpn_outs(feats, grid=(4, 4))
+    assert set(grids) == {'P3', 'P4'}
+    h, w, _ = feats[0].shape
+    assert grids['P3'].shape == (h * 4, w * 4)
+    # first tile is channel 0 verbatim (reference tiles raw activations)
+    np.testing.assert_allclose(grids['P3'][:h, :w], feats[0][..., 0])
