@@ -82,3 +82,63 @@ def test_uint8_input_matches_host_normalize(setup):
                                np.asarray(outs_u.score), atol=1e-5)
     np.testing.assert_allclose(np.asarray(outs_f.mask),
                                np.asarray(outs_u.mask), atol=1e-5)
+
+
+def test_lane_sharded_eval_matches_single_device(setup):
+    """Multi-chip EVAL: video lanes sharded over an 8-device mesh produce
+    bit-identical YTVIS JSON to the same lanes on one device (SURVEY §5.8
+    'video-level sharding'; reference analog eval.py:495-500 eval
+    DataParallel)."""
+    import json
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import eval as eval_script
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from stmask_tpu.inference import postprocess_frame, results2json_videoseg
+    from stmask_tpu.parallel import make_mesh, replicate
+
+    model, params = setup
+    b, k = 8, 2
+    assert len(jax.devices()) >= b
+    rng = np.random.RandomState(2)
+    frames = rng.randn(k, b, TINY.pad_h, TINY.pad_w, 3).astype(np.float32)
+    first = np.zeros((k, b), bool)
+    first[0] = True
+
+    video_chunk, make_states = build_video_step_batched(TINY, model, b, k)
+    mesh = make_mesh(b)
+
+    def run(shard):
+        states = make_states()
+        fr, fi, pr = jnp.asarray(frames), jnp.asarray(first), params
+        if shard:
+            lane0 = NamedSharding(mesh, P('data'))
+            lane1 = NamedSharding(mesh, P(None, 'data'))
+            states = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, lane0), states)
+            fr = jax.device_put(fr, lane1)
+            fi = jax.device_put(fi, lane1)
+            pr = replicate(mesh, params)
+        states, outs = video_chunk(pr, states, fr, fi)
+        if shard:   # lanes really are distributed across the mesh
+            assert len(outs.box.sharding.device_set) == b
+        small, keep_idx, kept = eval_script._fetch_kept(outs)
+        res = []
+        for lane in range(b):
+            for step in range(k):
+                out = eval_script._compact_frame(small, keep_idx, kept,
+                                                 lead=(step, lane))
+                res.append(postprocess_frame(
+                    TINY, out, {'video_id': lane, 'frame_id': step,
+                                'img_shape': (TINY.img_h, TINY.img_w),
+                                'pad_shape': (TINY.pad_h, TINY.pad_w)}))
+        return results2json_videoseg(res)
+
+    single = run(False)
+    sharded = run(True)
+    # canonicalize float reprs: per-example math matches across shardings
+    # up to ulps (scores within 2e-7); RLE strings must match exactly
+    from __graft_entry__ import _round_floats
+    assert json.dumps(_round_floats(single), sort_keys=True) == \
+        json.dumps(_round_floats(sharded), sort_keys=True)
