@@ -17,6 +17,9 @@ def main():
     p.add_argument('--config', default='STMask_plus_resnet50')
     p.add_argument("--remat", action="store_true")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--pipeline", action="store_true",
+                   help="also measure wall-clock through the real host "
+                        "input pipeline (JPEG decode + loader + prefetch)")
     args = p.parse_args()
 
     import jax
@@ -67,9 +70,48 @@ def main():
         state, metrics = train_step(state, batch)
     jax.block_until_ready(metrics['total'])
     dt = (time.perf_counter() - t0) / args.steps
-    print(f'batch={b} step={dt * 1000:.1f} ms '
+    print(f'batch={b} device step={dt * 1000:.1f} ms '
           f'-> {b / dt:.1f} clips/s ({2 * b / dt:.1f} frames/s) '
           f'loss={float(metrics["total"]):.3f}')
+
+    if args.pipeline:
+        # wall-clock through the REAL host input pipeline (on-disk JPEG
+        # decode -> ClipLoader -> Prefetcher -> deferred-metrics loop,
+        # exactly the train.py structure) vs the device-only step above
+        from overfit_sanity import make_dataset
+        from stmask_tpu.data import ClipLoader, Prefetcher, YTVISDataset
+
+        root = '/tmp/stmask_bench_train_ds'
+        ann = os.path.join(root, 'train.json')
+        if not os.path.exists(ann):
+            make_dataset(root, n_videos=8, n_frames=16, h=360, w=640)
+        ds = YTVISDataset(ann, os.path.join(root, 'imgs'),
+                          has_annotations=True)
+        loader = ClipLoader(cfg, ds, batch_size=b, num_workers=16)
+
+        def batches():
+            epoch = 0
+            while True:
+                yield from loader.epoch(epoch)
+                epoch += 1
+
+        it = iter(Prefetcher(batches(), put_fn=lambda bt:
+                             jax.tree_util.tree_map(jnp.asarray, bt)))
+        state2 = init_state(params)
+        state2, m = train_step(state2, next(it))   # compile with real batch
+        jax.block_until_ready(m['total'])
+        pending = None
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state2, m = train_step(state2, next(it))
+            if pending is not None:
+                _ = {k: float(v) for k, v in pending.items()}
+            pending = m
+        jax.block_until_ready(m['total'])
+        wall = (time.perf_counter() - t0) / args.steps
+        print(f'batch={b} pipeline wall={wall * 1000:.1f} ms '
+              f'(device {dt * 1000:.1f} ms, host overhead '
+              f'{(wall - dt) * 1000:+.1f} ms = {(wall / dt - 1) * 100:.0f}%)')
 
 
 if __name__ == '__main__':
