@@ -6,11 +6,17 @@ shift + tracking) of the flagship config (STMask_plus_resnet50 = R50-DCN-FPN
 the reference benchmark protocol (``eval.py --benchmark``; baseline 29.3 FPS
 on a RTX 2080 Ti, README.md:102).
 
+Default mode measures N ∈ {1, 4, 8} independent video streams stepped in
+lockstep on one chip (aggregate frames/s; the per-frame program is
+launch-bound at B=1, so the multi-stream number is the real chip
+throughput), ≥3 repeats each, median with min/max spread.
+
 ``--e2e`` instead benchmarks the full batched eval driver on an on-disk
 synthetic JPEG video set — decode + preprocess + device + postprocess + RLE
 (what the reference's ``eval.py --benchmark`` walltime actually covered).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"best_streams", "streams": per-N medians + spread}.
 """
 
 from __future__ import annotations
@@ -30,12 +36,52 @@ FRAMES = 200
 
 
 CHUNK = 10      # frames per dispatch (lax.scan)
-N_VIDEOS = 1    # independent video streams stepped in lockstep
 
 
-def main():
+def _measure_streams(cfg, model, params, n_videos: int, repeats: int):
+    """Median/min/max aggregate FPS over `repeats` timed passes of the
+    lockstep N-stream device pipeline (device-only, no host IO)."""
+    from stmask_tpu.inference import build_video_step_batched
+
+    video_chunk, make_states = build_video_step_batched(cfg, model,
+                                                        n_videos, CHUNK)
+    states = make_states(feat_dtype=jnp.bfloat16)
+
+    frames = jnp.asarray(np.random.RandomState(0)
+                         .randn(CHUNK, n_videos, cfg.pad_h, cfg.pad_w, 3)
+                         .astype(np.float32))
+    first = jnp.zeros((CHUNK, n_videos), bool).at[0].set(True)
+    not_first = jnp.zeros((CHUNK, n_videos), bool)
+
+    # warmup / compile
+    for i in range(WARMUP):
+        states, out = video_chunk(params, states, frames,
+                                  first if i == 0 else not_first)
+    jax.block_until_ready(out.box)
+
+    n_chunks = max(1, FRAMES // CHUNK)
+    fps = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(n_chunks):
+            states, out = video_chunk(params, states, frames, not_first)
+        jax.block_until_ready(out.box)
+        dt = time.perf_counter() - t0
+        fps.append(n_chunks * CHUNK * n_videos / dt)
+    fps.sort()
+    return {'median': round(fps[len(fps) // 2], 2),
+            'min': round(fps[0], 2), 'max': round(fps[-1], 2)}
+
+
+def main(streams=(1, 4, 8), repeats=5):
+    """Dataset-eval throughput: tracking is sequential per video but videos
+    are independent, so N streams run in lockstep and the metric is
+    aggregate frames/s per chip (results identical to sequential eval —
+    tests/test_batched_pipeline.py).  The headline value is the best
+    configuration; per-N medians with min/max spread ride along in the
+    same JSON line (reference benchmark protocol: eval.py:645-697)."""
     from stmask_tpu.config import get_config
-    from stmask_tpu.inference import build_video_step_batched, cast_params
+    from stmask_tpu.inference import cast_params
     from stmask_tpu.models import STMask
 
     cfg = get_config('STMask_plus_resnet50')
@@ -46,39 +92,20 @@ def main():
     # production serving dtype: bf16 convs, fp32 decode/NMS/tracking
     params = cast_params(params, jnp.bfloat16)
 
-    # Dataset-eval throughput layout: tracking is sequential per video but
-    # videos are independent, so N_VIDEOS streams run in lockstep and the
-    # metric is aggregate frames/s per chip (results identical to
-    # sequential eval).
-    video_chunk, make_states = build_video_step_batched(cfg, model,
-                                                        N_VIDEOS, CHUNK)
-    states = make_states(feat_dtype=jnp.bfloat16)
+    results = {}
+    for n in streams:
+        results[str(n)] = _measure_streams(cfg, model, params, n, repeats)
 
-    frames = jnp.asarray(np.random.RandomState(0)
-                         .randn(CHUNK, N_VIDEOS, cfg.pad_h, cfg.pad_w, 3)
-                         .astype(np.float32))
-    first = jnp.zeros((CHUNK, N_VIDEOS), bool).at[0].set(True)
-    not_first = jnp.zeros((CHUNK, N_VIDEOS), bool)
-
-    # warmup / compile
-    for i in range(WARMUP):
-        states, out = video_chunk(params, states, frames,
-                                  first if i == 0 else not_first)
-    jax.block_until_ready(out.box)
-
-    n_chunks = max(1, FRAMES // CHUNK)
-    t0 = time.perf_counter()
-    for i in range(n_chunks):
-        states, out = video_chunk(params, states, frames, not_first)
-    jax.block_until_ready(out.box)
-    dt = time.perf_counter() - t0
-
-    fps = n_chunks * CHUNK * N_VIDEOS / dt
+    best_n = max(results, key=lambda k: results[k]['median'])
+    best = results[best_n]['median']
     print(json.dumps({
         'metric': 'ytvis2019_stream_fps_per_chip_r50dcn_fca_tf_360x640',
-        'value': round(fps, 2),
+        'value': best,
         'unit': 'frames/s',
-        'vs_baseline': round(fps / BASELINE_FPS, 3),
+        'vs_baseline': round(best / BASELINE_FPS, 3),
+        'best_streams': int(best_n),
+        'repeats': repeats,
+        'streams': results,
     }))
 
 
@@ -132,8 +159,12 @@ if __name__ == '__main__':
     p.add_argument('--batch_videos', type=int, default=8)
     p.add_argument('--trained_model', default=None,
                    help='checkpoint for --e2e (realistic detection counts)')
+    p.add_argument('--streams', type=int, nargs='+', default=[1, 4, 8],
+                   help='lockstep stream counts to measure (device-only)')
+    p.add_argument('--repeats', type=int, default=5,
+                   help='timed passes per stream count (median reported)')
     a = p.parse_args()
     if a.e2e:
         main_e2e(a.batch_videos, trained_model=a.trained_model)
     else:
-        main()
+        main(streams=tuple(a.streams), repeats=a.repeats)
