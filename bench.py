@@ -38,6 +38,14 @@ FRAMES = 200
 CHUNK = 10      # frames per dispatch (lax.scan)
 
 
+def _drain(x) -> float:
+    """True device sync: under this environment's remote-tunnel client,
+    ``block_until_ready`` returns without waiting for execution (measured
+    — a 1000-op chain "completed" in 23us); only a value fetch syncs.
+    Costs one ~30ms round-trip, so call once per timed pass."""
+    return float(jnp.sum(x))
+
+
 def _measure_streams(cfg, model, params, n_videos: int, repeats: int):
     """Median/min/max aggregate FPS over `repeats` timed passes of the
     lockstep N-stream device pipeline (device-only, no host IO)."""
@@ -57,7 +65,7 @@ def _measure_streams(cfg, model, params, n_videos: int, repeats: int):
     for i in range(WARMUP):
         states, out = video_chunk(params, states, frames,
                                   first if i == 0 else not_first)
-    jax.block_until_ready(out.box)
+    _drain(out.box)
 
     n_chunks = max(1, FRAMES // CHUNK)
     fps = []
@@ -65,7 +73,7 @@ def _measure_streams(cfg, model, params, n_videos: int, repeats: int):
         t0 = time.perf_counter()
         for _ in range(n_chunks):
             states, out = video_chunk(params, states, frames, not_first)
-        jax.block_until_ready(out.box)
+        _drain(out.box)
         dt = time.perf_counter() - t0
         fps.append(n_chunks * CHUNK * n_videos / dt)
     fps.sort()

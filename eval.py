@@ -319,7 +319,9 @@ def evaluate_dataset_batched(args, cfg, model, params):
         params, states,
         jnp.zeros((k, b, cfg.img_h, cfg.img_w, 3), jnp.uint8),
         jnp.zeros((k, b), bool))
-    jax.block_until_ready(warm.box)
+    # true sync: through the remote-tunnel client block_until_ready
+    # returns before execution finishes; only a value fetch waits
+    float(jnp.sum(warm.box))
 
     def drain(outs, metas):
         """Fetch one chunk's kept outputs and postprocess (threads: cv2 and
@@ -355,7 +357,10 @@ def evaluate_dataset_batched(args, cfg, model, params):
             td = time.perf_counter()
             states, outs = video_chunk(params, states, frames, first)
             if args.time_device:
-                jax.block_until_ready(outs.box)
+                # value fetch = the only real sync through the tunnel;
+                # includes one ~30ms round-trip per chunk, so device_fps
+                # is a k*b-frame-amortized conservative bound
+                float(jnp.sum(outs.box))
                 device_s += time.perf_counter() - td
             pending.append((outs, metas))
             chunk = next_chunk()      # overlap host IO with device compute

@@ -63,12 +63,14 @@ def main():
         'masks_proto': jnp.asarray(masks),
     }
 
+    # NOTE: the final sync must be a value FETCH — under the remote-tunnel
+    # client block_until_ready returns without waiting for execution
     state, metrics = train_step(state, batch)
-    jax.block_until_ready(metrics['total'])
+    float(metrics['total'])
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, metrics = train_step(state, batch)
-    jax.block_until_ready(metrics['total'])
+    float(metrics['total'])
     dt = (time.perf_counter() - t0) / args.steps
     print(f'batch={b} device step={dt * 1000:.1f} ms '
           f'-> {b / dt:.1f} clips/s ({2 * b / dt:.1f} frames/s) '
@@ -99,7 +101,7 @@ def main():
                              jax.tree_util.tree_map(jnp.asarray, bt)))
         state2 = init_state(params)
         state2, m = train_step(state2, next(it))   # compile with real batch
-        jax.block_until_ready(m['total'])
+        float(m['total'])
         pending = None
         t0 = time.perf_counter()
         for _ in range(args.steps):
@@ -107,7 +109,7 @@ def main():
             if pending is not None:
                 _ = {k: float(v) for k, v in pending.items()}
             pending = m
-        jax.block_until_ready(m['total'])
+        float(m['total'])
         wall = (time.perf_counter() - t0) / args.steps
         print(f'batch={b} pipeline wall={wall * 1000:.1f} ms '
               f'(device {dt * 1000:.1f} ms, host overhead '

@@ -83,11 +83,6 @@ class BackboneConfig:
     # (default False: imported-checkpoint eval parity stays exact).
     dcn_window_radius: int = 2
     dcn_window_eval: bool = False
-    # EXPERIMENTAL: run the eval window path as the fused VMEM Pallas
-    # kernel (kernels/dcn_pallas.py). Correctness-tested; opt-in because
-    # the fully-unrolled 324-term Mosaic kernel compiles very slowly
-    # (>45 min through a remote-compile tunnel).
-    dcn_pallas_eval: bool = False
     # which backbone stages feed the FPN (C3, C4, C5 == indices 1, 2, 3)
     selected_layers: Tuple[int, ...] = (1, 2, 3)
 

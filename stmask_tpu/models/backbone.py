@@ -27,14 +27,14 @@ class DCNConv(nn.Module):
 
     ``window_radius > 0`` selects the window-clamped dense-shift formulation
     (``deform_conv2d_window``) whose adjoint contains no scatter — the
-    training fast path; 0 selects the exact unclamped gather.
-    ``use_pallas`` (eval only: the kernel has no VJP) runs the window
-    formulation as one fused VMEM Pallas kernel."""
+    training fast path; 0 selects the exact unclamped gather.  (A fused
+    VMEM Pallas eval kernel for the window path was built and benchmarked
+    across four structures in rounds 2-3 and removed: XLA's exact gather
+    is faster — see PARITY.md "DCN forward: measured to a decision".)"""
     features: int
     stride: int = 1
     dilation: int = 1
     window_radius: int = 0
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -52,12 +52,6 @@ class DCNConv(nn.Module):
                                                     self.features))
         bias = self.param('bias', nn.initializers.zeros, (self.features,))
         if self.window_radius > 0:
-            if self.use_pallas:
-                from ..kernels.dcn_pallas import deform_conv2d_window_pallas
-                return deform_conv2d_window_pallas(
-                    x, offset, weight, mask, bias=bias,
-                    stride=self.stride, dilation=self.dilation,
-                    radius=self.window_radius)
             return deform_conv2d_window(
                 x, offset, weight, mask=mask, bias=bias, stride=self.stride,
                 dilation=self.dilation, radius=self.window_radius)
@@ -73,7 +67,6 @@ class Bottleneck(nn.Module):
     has_downsample: bool = False
     dilation: int = 1
     dcn_window_radius: int = 0
-    dcn_use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -86,7 +79,6 @@ class Bottleneck(nn.Module):
             out = DCNConv(self.planes, stride=self.stride,
                           dilation=self.dilation,
                           window_radius=self.dcn_window_radius,
-                          use_pallas=self.dcn_use_pallas,
                           name='conv2')(out)
         else:
             out = nn.Conv(self.planes, (3, 3), strides=self.stride,
@@ -125,13 +117,10 @@ class ResNetBackbone(nn.Module):
                  ) -> Tuple[jax.Array, ...]:
         c = self.cfg
         # training always takes the scatter-free window path; eval opts in
-        # via dcn_window_eval (parameters are identical either way) and can
-        # additionally run it as a fused VMEM Pallas kernel on TPU via
-        # dcn_pallas_eval (no VJP: eval only; see config for the compile
-        # time caveat)
+        # via dcn_window_eval (parameters are identical either way —
+        # default False: the exact gather is both parity-exact AND the
+        # fastest measured eval formulation, see PARITY.md)
         radius = c.dcn_window_radius if (train or c.dcn_window_eval) else 0
-        use_pallas = ((not train) and radius > 0 and c.dcn_pallas_eval
-                      and jax.default_backend() == 'tpu')
         x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                     name='conv1')(x)
         x = FrozenBatchNorm(64, name='bn1')(x)
@@ -151,7 +140,6 @@ class ResNetBackbone(nn.Module):
                 x = Bottleneck(planes, stride=stride, use_dcn=flags[b],
                                has_downsample=has_ds,
                                dcn_window_radius=radius,
-                               dcn_use_pallas=use_pallas,
                                name=f'layer{s}_{b}')(x)
                 in_ch = planes * 4
             outs.append(x)
