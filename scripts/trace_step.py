@@ -29,14 +29,14 @@ def main():
                         .randn(cfg.pad_h, cfg.pad_w, 3).astype(np.float32))
     for i in range(3):
         state, out = video_step(params, state, frame, jnp.asarray(i == 0))
-    jax.block_until_ready(out.box)
+    float(jnp.sum(out.box))        # true sync (see CLAUDE.md)
 
     trace_dir = '/tmp/stmask_trace'
     with jax.profiler.trace(trace_dir):
         for _ in range(10):
             state, out = video_step(params, state, frame,
                                     jnp.asarray(False))
-        jax.block_until_ready(out.box)
+        float(jnp.sum(out.box))    # true sync inside the trace region
 
     # parse the trace: accumulate device op durations
     files = glob.glob(trace_dir + '/**/*.trace.json.gz', recursive=True)
