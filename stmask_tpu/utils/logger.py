@@ -78,6 +78,10 @@ class MovingAverage:
             return 0.0
         return self.sum / len(self.window)
 
+    def reset(self):
+        self.window = []
+        self.sum = 0.0
+
     def __len__(self):
         return len(self.window)
 

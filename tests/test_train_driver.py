@@ -72,3 +72,32 @@ def test_train_cli_runs_and_resumes(synth):
     args2 = list(common)
     args2[args2.index('--max_iter') + 1] = '3'
     assert train_mod.main(args2 + ['--resume', 'latest']) == 0
+
+
+@pytest.mark.slow
+def test_delayed_settings_apply_mid_epoch(synth, monkeypatch, capsys):
+    """cfg.delayed_settings applies at its exact iteration inside the
+    epoch (reference train.py:278-291), rebuilding the step program."""
+    ann_file, img_prefix, root = synth
+    import train as train_mod
+    from stmask_tpu import config as config_mod
+
+    real_get = config_mod.get_config
+
+    def with_delay(name):
+        cfg = real_get(name)
+        # epoch_size = 2 videos / batch 2 = 1? No: index has one clip per
+        # video pair -> keep max_iter small; fire the change at iter 2
+        return cfg.replace(delayed_settings=((2, (('conf_alpha', 2.0),)),))
+
+    monkeypatch.setattr(config_mod, 'get_config', with_delay)
+    argv = ['--config', 'STMask_plus_resnet50', '--batch_size', '2',
+            '--ann_file', ann_file, '--img_prefix', img_prefix,
+            '--save_folder', os.path.join(root, 'weights_d'),
+            '--log_folder', os.path.join(root, 'logs_d'),
+            '--img_w', '128', '--img_h', '96',
+            '--max_iter', '4', '--no_autoscale', '--save_interval', '100',
+            '--num_workers', '2']
+    assert train_mod.main(argv) == 0
+    out = capsys.readouterr().out
+    assert "Applying delayed settings: {'conf_alpha': 2.0}" in out

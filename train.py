@@ -139,16 +139,29 @@ def main(argv=None):
     pending_delayed = sorted(cfg.delayed_settings)
 
     with InterruptSaver(ckpt) as saver:
-        for epoch in range(num_epochs):
-            if (epoch + 1) * epoch_size < iteration:
-                continue
-            # delayed config changes (reference train.py:278-291):
-            # applied at epoch boundaries; the step program is rebuilt
+        def apply_delayed():
+            """Delayed config changes at their exact iteration (reference
+            train.py:278-291, incl. the loss-average reset).  The step
+            program is rebuilt — a mid-epoch recompile, exactly when the
+            reference mutates its global cfg.  The loader keeps the old
+            cfg until the next epoch (the reference's forked DataLoader
+            workers never see mid-epoch changes either)."""
+            nonlocal cfg, train_step
+            changed = False
             while pending_delayed and iteration >= pending_delayed[0][0]:
                 _, changes = pending_delayed.pop(0)
                 cfg = cfg.replace(**dict(changes))
                 print('Applying delayed settings:', dict(changes))
+                changed = True
+            if changed:
                 train_step, _ = build_train_step(cfg, model)
+                for avg in loss_avgs.values():
+                    avg.reset()
+
+        for epoch in range(num_epochs):
+            if (epoch + 1) * epoch_size < iteration:
+                continue
+            apply_delayed()     # catch up after a resume
             batches = Prefetcher(loader.epoch(epoch),
                                  put_fn=lambda b: shard_batch(
                                      mesh, jax.tree_util.tree_map(
@@ -176,6 +189,8 @@ def main(argv=None):
             for batch in batches:
                 if iteration >= cfg.max_iter:
                     break
+                if pending_delayed and iteration >= pending_delayed[0][0]:
+                    apply_delayed()
                 state, metrics = train_step(state, batch)
                 iteration += 1
                 saver.update(state, epoch, iteration)
