@@ -7,9 +7,9 @@ the reference benchmark protocol (``eval.py --benchmark``; baseline 29.3 FPS
 on a RTX 2080 Ti, README.md:102).
 
 Default mode measures N ∈ {1, 4, 8} independent video streams stepped in
-lockstep on one chip (aggregate frames/s; the per-frame program is
-launch-bound at B=1, so the multi-stream number is the real chip
-throughput), ≥3 repeats each, median with min/max spread.
+lockstep on one chip (aggregate frames/s; lockstep batching improves
+device utilization — measured +7% at N=8 over N=1, PARITY.md round-3
+findings), ≥3 repeats each, median with min/max spread.
 
 ``--e2e`` instead benchmarks the full batched eval driver on an on-disk
 synthetic JPEG video set — decode + preprocess + device + postprocess + RLE
