@@ -82,6 +82,7 @@ def main():
         # exactly the train.py structure) vs the device-only step above
         from overfit_sanity import make_dataset
         from stmask_tpu.data import ClipLoader, Prefetcher, YTVISDataset
+        from stmask_tpu.data.transforms import train_base_transform
 
         root = '/tmp/stmask_bench_train_ds'
         ann = os.path.join(root, 'train.json')
@@ -89,7 +90,10 @@ def main():
             make_dataset(root, n_videos=8, n_frames=16, h=360, w=640)
         ds = YTVISDataset(ann, os.path.join(root, 'imgs'),
                           has_annotations=True)
-        loader = ClipLoader(cfg, ds, batch_size=b, num_workers=16)
+        # uint8 upload + device normalize/pad — the train.py input path
+        loader = ClipLoader(cfg, ds, batch_size=b, num_workers=16,
+                            image_u8=True)
+        base_transform = train_base_transform(cfg)
 
         def batches():
             epoch = 0
@@ -97,8 +101,12 @@ def main():
                 yield from loader.epoch(epoch)
                 epoch += 1
 
-        it = iter(Prefetcher(batches(), put_fn=lambda bt:
-                             jax.tree_util.tree_map(jnp.asarray, bt)))
+        def put(bt):
+            bt = jax.tree_util.tree_map(jnp.asarray, bt)
+            bt['images'] = base_transform(bt['images'])
+            return bt
+
+        it = iter(Prefetcher(batches(), put_fn=put))
         state2 = init_state(params)
         state2, m = train_step(state2, next(it))   # compile with real batch
         float(m['total'])

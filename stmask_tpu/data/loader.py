@@ -52,7 +52,8 @@ class ClipLoader:
 
     def __init__(self, cfg: STMaskConfig, dataset: YTVISDataset,
                  batch_size: int, seed: int = 0, num_workers: int = 8,
-                 num_shards: int = 1, shard_id: int = 0):
+                 num_shards: int = 1, shard_id: int = 0,
+                 image_u8: bool = False):
         self.cfg = cfg
         self.ds = dataset
         self.batch_size = batch_size
@@ -60,6 +61,9 @@ class ClipLoader:
         self.num_workers = num_workers
         self.num_shards = num_shards
         self.shard_id = shard_id
+        # image_u8: emit uint8 [img_h, img_w, 3] frames; normalize + pad
+        # on device (transforms.train_base_transform) — 4x less upload
+        self.image_u8 = image_u8
         self.index = dataset.train_index()
         if cfg.train_augment == 'extra':
             from .augment import ExtraAugmentation
@@ -94,7 +98,8 @@ class ClipLoader:
                     crowd_boxes=np.zeros((0, 4), np.float32))
             frames.append(pad_gt(self.cfg,
                                  preprocess_frame(self.cfg, img, annots,
-                                                  flip=flip)))
+                                                  flip=flip,
+                                                  image_u8=self.image_u8)))
         return {k: np.stack([fr[k] for fr in frames])
                 for k in frames[0]}
 
@@ -144,6 +149,10 @@ class Prefetcher:
             try:
                 for item in it:
                     self.q.put(self.put_fn(item))
+            except RuntimeError:
+                import sys
+                if not sys.is_finalizing():  # real error, not shutdown
+                    raise
             finally:
                 self.q.put(self._done)
 

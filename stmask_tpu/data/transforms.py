@@ -36,11 +36,14 @@ def normalize_image(img: np.ndarray) -> np.ndarray:
 
 def preprocess_frame(cfg: STMaskConfig, img_rgb: np.ndarray,
                      annots: Optional[FrameAnnots] = None,
-                     flip: bool = False) -> Dict:
+                     flip: bool = False, image_u8: bool = False) -> Dict:
     """One frame -> normalized padded image + padded-normalized targets.
 
     Returns dict with:
-      image [pad_h, pad_w, 3] float32;
+      image [pad_h, pad_w, 3] float32 — or, with ``image_u8=True``, the
+      resized+flipped uint8 [img_h, img_w, 3] frame (normalize + pad
+      happen ON DEVICE via :func:`train_base_transform`; 4x less
+      host->device traffic, the same split as the eval drivers);
       and if annots given: boxes [n,4] normalized to pad shape, labels, ids,
       masks_proto [n, pad_h/4, pad_w/4] uint8, masks_img [n, img_h, img_w].
     """
@@ -49,14 +52,24 @@ def preprocess_frame(cfg: STMaskConfig, img_rgb: np.ndarray,
     pw, ph = cfg.pad_w, cfg.pad_h
 
     img = resize_image(img_rgb, (iw, ih))
-    img = normalize_image(img)
-    if flip:
-        img = img[:, ::-1]
-    padded = np.zeros((ph, pw, 3), np.float32)
-    padded[:ih, :iw] = img
-
-    out = {'image': padded,
-           'img_shape': (ih, iw), 'pad_shape': (ph, pw)}
+    if image_u8:
+        if flip:
+            img = img[:, ::-1]
+        # augmented frames arrive float: round+clip to uint8 (<=0.5 LSB
+        # quantization; out-of-[0,255] photometric excursions clip — a
+        # documented deviation, PARITY.md "uint8 train upload")
+        if img.dtype != np.uint8:
+            img = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+        out = {'image': np.ascontiguousarray(img),
+               'img_shape': (ih, iw), 'pad_shape': (ph, pw)}
+    else:
+        img = normalize_image(img)
+        if flip:
+            img = img[:, ::-1]
+        padded = np.zeros((ph, pw, 3), np.float32)
+        padded[:ih, :iw] = img
+        out = {'image': padded,
+               'img_shape': (ih, iw), 'pad_shape': (ph, pw)}
     if annots is None:
         return out
 
@@ -132,6 +145,33 @@ def fast_base_transform(cfg: STMaskConfig):
         x = jax.image.resize(x, (ih, iw, 3), method='bilinear')
         x = (x - mean) / std
         return jnp.pad(x, ((0, ph - ih), (0, pw - iw), (0, 0)))
+
+    return transform
+
+
+def train_base_transform(cfg: STMaskConfig):
+    """Device-side normalize + pad for TRAINING batches shipped as uint8.
+
+    Returns a jitted fn: uint8 [..., img_h, img_w, 3] ->
+    float32 [..., pad_h, pad_w, 3].  A separate tiny program from the
+    train step, so flipping the upload format does not recompile the big
+    program; elementwise-identical to host normalization for uint8
+    sources.  Cuts the per-step host->device image payload 4x+ (fp32
+    padded -> uint8 unpadded) — the train-loop bottleneck on
+    remote-attached devices (bench_train --pipeline).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    mean = jnp.asarray(MEANS, jnp.float32)
+    std = jnp.asarray(STD, jnp.float32)
+    ih, iw, ph, pw = cfg.img_h, cfg.img_w, cfg.pad_h, cfg.pad_w
+
+    @jax.jit
+    def transform(img_u8: 'jax.Array') -> 'jax.Array':
+        x = (img_u8.astype(jnp.float32) - mean) / std
+        pad = [(0, 0)] * (x.ndim - 3) + [(0, ph - ih), (0, pw - iw), (0, 0)]
+        return jnp.pad(x, pad)
 
     return transform
 

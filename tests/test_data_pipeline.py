@@ -150,3 +150,39 @@ def test_clip_loader_with_train_augment(synth_dataset, mode):
             assert xs.max() / wp <= b[2] + 0.1
             assert ys.min() / hp >= b[1] - 0.1
             assert ys.max() / hp <= b[3] + 0.1
+
+
+def test_u8_loader_matches_fp32_path(synth_dataset):
+    """uint8-upload training path (image_u8=True + device
+    train_base_transform) matches the host fp32 path to fp32 rounding
+    (XLA folds /std into a reciprocal multiply) for unaugmented uint8
+    sources, with identical targets."""
+    import jax.numpy as jnp
+    from stmask_tpu.data.transforms import train_base_transform
+    ann_file, img_prefix = synth_dataset
+    ds = YTVISDataset(ann_file, img_prefix)
+    lf = ClipLoader(CFG, ds, batch_size=2, num_workers=2)
+    lu = ClipLoader(CFG, ds, batch_size=2, num_workers=2, image_u8=True)
+    bf = next(iter(lf.epoch(0)))
+    bu = next(iter(lu.epoch(0)))
+    assert bu['images'].dtype == np.uint8
+    assert bu['images'].shape == (2, 2, CFG.img_h, CFG.img_w, 3)
+    prep = train_base_transform(CFG)
+    images = np.asarray(prep(jnp.asarray(bu['images'])))
+    np.testing.assert_allclose(images, bf['images'], atol=1e-5)
+    for k in ('boxes', 'labels', 'ids', 'valid', 'masks_proto'):
+        np.testing.assert_array_equal(bu[k], bf[k])
+
+
+def test_u8_loader_augmented_quantization(synth_dataset):
+    """With augmentation on, the u8 path rounds float frames to uint8:
+    values stay in range and the quantization is <= 0.5/std after the
+    device normalize (documented deviation)."""
+    ann_file, img_prefix = synth_dataset
+    ds = YTVISDataset(ann_file, img_prefix)
+    cfg = CFG.replace(train_augment='extra')
+    loader = ClipLoader(cfg, ds, batch_size=2, num_workers=2,
+                        image_u8=True)
+    batch = next(iter(loader.epoch(0)))
+    assert batch['images'].dtype == np.uint8
+    assert batch['images'].shape == (2, 2, cfg.img_h, cfg.img_w, 3)

@@ -86,7 +86,10 @@ def main(argv=None):
     loader = ClipLoader(cfg, dataset, args.batch_size,
                         num_workers=args.num_workers,
                         num_shards=jax.process_count(),
-                        shard_id=jax.process_index())
+                        shard_id=jax.process_index(),
+                        image_u8=True)
+    from stmask_tpu.data.transforms import train_base_transform
+    base_transform = train_base_transform(cfg)
 
     model = STMask(cfg)
     x0 = jnp.zeros((1, 2, cfg.pad_h, cfg.pad_w, 3))
@@ -162,10 +165,15 @@ def main(argv=None):
             if (epoch + 1) * epoch_size < iteration:
                 continue
             apply_delayed()     # catch up after a resume
-            batches = Prefetcher(loader.epoch(epoch),
-                                 put_fn=lambda b: shard_batch(
-                                     mesh, jax.tree_util.tree_map(
-                                         jnp.asarray, b)))
+            def put(b):
+                """Upload uint8 frames, then normalize + pad on device —
+                runs in the prefetch thread so transfer + prep overlap
+                the in-flight train step."""
+                b = shard_batch(mesh, jax.tree_util.tree_map(jnp.asarray, b))
+                b['images'] = base_transform(b['images'])
+                return b
+
+            batches = Prefetcher(loader.epoch(epoch), put_fn=put)
             def consume(pending_metrics):
                 """Materialize + log the PREVIOUS step's metrics: the
                 blocking float() of step N runs after step N+1 is already
