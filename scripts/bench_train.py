@@ -82,7 +82,8 @@ def main():
         # exactly the train.py structure) vs the device-only step above
         from overfit_sanity import make_dataset
         from stmask_tpu.data import ClipLoader, Prefetcher, YTVISDataset
-        from stmask_tpu.data.transforms import train_base_transform
+        from stmask_tpu.data.transforms import (train_base_transform,
+                                                unpack_masks_device)
 
         root = '/tmp/stmask_bench_train_ds'
         ann = os.path.join(root, 'train.json')
@@ -94,6 +95,7 @@ def main():
         loader = ClipLoader(cfg, ds, batch_size=b, num_workers=16,
                             image_u8=True)
         base_transform = train_base_transform(cfg)
+        unpack_masks = unpack_masks_device()
 
         def batches():
             epoch = 0
@@ -104,6 +106,8 @@ def main():
         def put(bt):
             bt = jax.tree_util.tree_map(jnp.asarray, bt)
             bt['images'] = base_transform(bt['images'])
+            bt['masks_proto'] = unpack_masks(
+                bt['masks_proto'])[..., :cfg.pad_w // 4]
             return bt
 
         it = iter(Prefetcher(batches(), put_fn=put))

@@ -119,7 +119,16 @@ def main():
         max_iter=args.steps,
         # from-scratch training: let the BN affine learn (the stats stay
         # frozen either way — see train_step._bn_freeze_labels)
-        freeze_bn=False)
+        freeze_bn=False,
+        # from-scratch at aggressive lr sits at the edge of stability:
+        # with the default no-op clip (1e4) the run is chaos-sensitive —
+        # fp32-rounding-level perturbations decide whether the end of
+        # warmup diverges (observed round 3: a benign op rewrite flipped
+        # a previously-stable run into NaN at step ~90).  A real clip
+        # makes the sanity run robust; the main config keeps the
+        # reference's no-clip behavior (it fine-tunes from pretrained
+        # weights at gentler lr).
+        grad_clip_norm=1e3)
     if args.img_w:
         cfg = cfg.replace(img_w=args.img_w)
     if args.img_h:

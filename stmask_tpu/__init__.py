@@ -11,10 +11,13 @@ __version__ = '0.1.0'
 import os as _os
 
 # Persistent XLA compilation cache: first compiles of the full model are
-# minutes; every later process reuses them.
+# minutes; every later process reuses them.  STMASK_NO_COMPILE_CACHE=1
+# opts out (concurrent processes serialize on the cache's file lock —
+# e.g. the lockstep multi-process workers in tests/test_multiprocess.py).
 try:
     import jax as _jax
-    if not _jax.config.jax_compilation_cache_dir:
+    if (not _jax.config.jax_compilation_cache_dir
+            and not _os.environ.get('STMASK_NO_COMPILE_CACHE')):
         _cache = _os.path.expanduser('~/.cache/jax_stmask')
         _os.makedirs(_cache, exist_ok=True)
         _jax.config.update('jax_compilation_cache_dir', _cache)

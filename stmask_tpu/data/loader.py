@@ -133,6 +133,12 @@ class ClipLoader:
                           * 100000)[:, None, None]
                 batch['ids'] = np.where(ids > 0, ids % 100000 + offset + 1,
                                         0).astype(np.int32)
+                if self.image_u8:
+                    # bit-pack the binary gt masks (8x fewer bytes over
+                    # the host->device link); unpacked on device by
+                    # transforms.unpack_masks_device
+                    batch['masks_proto'] = np.packbits(
+                        batch['masks_proto'], axis=-1)
                 yield batch
 
 

@@ -176,6 +176,23 @@ def train_base_transform(cfg: STMaskConfig):
     return transform
 
 
+def unpack_masks_device():
+    """Device-side inverse of ``np.packbits(masks, axis=-1)`` for the
+    binary proto-resolution gt masks: uint8 [..., W/8] -> uint8 [..., W].
+    Ships 8x fewer mask bytes per train batch (with the big-endian bit
+    order numpy uses)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def unpack(packed: 'jax.Array') -> 'jax.Array':
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)   # MSB first
+        bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+        return bits.reshape(packed.shape[:-1] + (packed.shape[-1] * 8,))
+
+    return unpack
+
+
 def pad_gt(cfg: STMaskConfig, frame: Dict) -> Dict:
     """Pad per-frame targets to ``max_gt_per_frame`` static capacity."""
     g = cfg.max_gt_per_frame

@@ -29,14 +29,31 @@ def make_mesh(n_devices: Optional[int] = None,
 
 
 def shard_batch(mesh: Mesh, batch: Any, axis_name: str = 'data') -> Any:
-    """Shard every leaf along its leading (batch) dimension."""
+    """Shard every leaf along its leading (batch) dimension.
+
+    Multi-process: each host passes its LOCAL batch (the shard its
+    ``ClipLoader(num_shards=process_count, shard_id=process_index)``
+    loaded) and the leaves are assembled into global arrays whose
+    leading dim is ``process_count * local_batch`` — the jax analog of
+    the reference's per-rank ``DistributedGroupSampler`` feeding
+    DataParallel (sampler.py:57-138)."""
     sharding = NamedSharding(mesh, P(axis_name))
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Fully replicate a pytree over the mesh (params/optimizer state).
+    Multi-process: every host holds the identical full value."""
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree)
 

@@ -158,7 +158,8 @@ def test_u8_loader_matches_fp32_path(synth_dataset):
     (XLA folds /std into a reciprocal multiply) for unaugmented uint8
     sources, with identical targets."""
     import jax.numpy as jnp
-    from stmask_tpu.data.transforms import train_base_transform
+    from stmask_tpu.data.transforms import (train_base_transform,
+                                            unpack_masks_device)
     ann_file, img_prefix = synth_dataset
     ds = YTVISDataset(ann_file, img_prefix)
     lf = ClipLoader(CFG, ds, batch_size=2, num_workers=2)
@@ -170,7 +171,13 @@ def test_u8_loader_matches_fp32_path(synth_dataset):
     prep = train_base_transform(CFG)
     images = np.asarray(prep(jnp.asarray(bu['images'])))
     np.testing.assert_allclose(images, bf['images'], atol=1e-5)
-    for k in ('boxes', 'labels', 'ids', 'valid', 'masks_proto'):
+    # masks ship bit-packed (8x fewer bytes); device unpack restores them
+    wp = CFG.pad_w // 4
+    assert bu['masks_proto'].shape[-1] == int(np.ceil(wp / 8))
+    unpacked = np.asarray(unpack_masks_device()(
+        jnp.asarray(bu['masks_proto'])))[..., :wp]
+    np.testing.assert_array_equal(unpacked, bf['masks_proto'])
+    for k in ('boxes', 'labels', 'ids', 'valid'):
         np.testing.assert_array_equal(bu[k], bf[k])
 
 

@@ -88,8 +88,10 @@ def main(argv=None):
                         num_shards=jax.process_count(),
                         shard_id=jax.process_index(),
                         image_u8=True)
-    from stmask_tpu.data.transforms import train_base_transform
+    from stmask_tpu.data.transforms import (train_base_transform,
+                                            unpack_masks_device)
     base_transform = train_base_transform(cfg)
+    unpack_masks = unpack_masks_device()
 
     model = STMask(cfg)
     x0 = jnp.zeros((1, 2, cfg.pad_h, cfg.pad_w, 3))
@@ -166,11 +168,13 @@ def main(argv=None):
                 continue
             apply_delayed()     # catch up after a resume
             def put(b):
-                """Upload uint8 frames, then normalize + pad on device —
-                runs in the prefetch thread so transfer + prep overlap
-                the in-flight train step."""
+                """Upload uint8 frames + bit-packed masks, then
+                normalize/pad + unpack on device — runs in the prefetch
+                thread so transfer + prep overlap the in-flight step."""
                 b = shard_batch(mesh, jax.tree_util.tree_map(jnp.asarray, b))
                 b['images'] = base_transform(b['images'])
+                b['masks_proto'] = unpack_masks(
+                    b['masks_proto'])[..., :cfg.pad_w // 4]
                 return b
 
             batches = Prefetcher(loader.epoch(epoch), put_fn=put)
