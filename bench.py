@@ -81,18 +81,22 @@ def _measure_streams(cfg, model, params, n_videos: int, repeats: int):
             'min': round(fps[0], 2), 'max': round(fps[-1], 2)}
 
 
-def main(streams=(1, 4, 8), repeats=5):
+def main(streams=(1, 4, 8), repeats=5, config='STMask_plus_resnet50'):
     """Dataset-eval throughput: tracking is sequential per video but videos
     are independent, so N streams run in lockstep and the metric is
     aggregate frames/s per chip (results identical to sequential eval —
     tests/test_batched_pipeline.py).  The headline value is the best
     configuration; per-N medians with min/max spread ride along in the
-    same JSON line (reference benchmark protocol: eval.py:645-697)."""
+    same JSON line (reference benchmark protocol: eval.py:645-697).
+
+    ``config`` selects the preset (default = the flagship/headline row);
+    non-default presets (R101, FCB variants) report under a metric name
+    derived from the preset so the driver's headline metric stays stable."""
     from stmask_tpu.config import get_config
     from stmask_tpu.inference import cast_params
     from stmask_tpu.models import STMask
 
-    cfg = get_config('STMask_plus_resnet50')
+    cfg = get_config(config)
     model = STMask(cfg)
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((1, cfg.pad_h, cfg.pad_w, 3))
@@ -106,8 +110,11 @@ def main(streams=(1, 4, 8), repeats=5):
 
     best_n = max(results, key=lambda k: results[k]['median'])
     best = results[best_n]['median']
+    metric = 'ytvis2019_stream_fps_per_chip_r50dcn_fca_tf_360x640'
+    if config != 'STMask_plus_resnet50':
+        metric = f'ytvis2019_stream_fps_per_chip_{config.lower()}_360x640'
     print(json.dumps({
-        'metric': 'ytvis2019_stream_fps_per_chip_r50dcn_fca_tf_360x640',
+        'metric': metric,
         'value': best,
         'unit': 'frames/s',
         'vs_baseline': round(best / BASELINE_FPS, 3),
@@ -171,8 +178,11 @@ if __name__ == '__main__':
                    help='lockstep stream counts to measure (device-only)')
     p.add_argument('--repeats', type=int, default=5,
                    help='timed passes per stream count (median reported)')
+    p.add_argument('--config', default='STMask_plus_resnet50',
+                   help='model preset to benchmark (R101/FCB variants for '
+                        'the PARITY.md per-config table)')
     a = p.parse_args()
     if a.e2e:
         main_e2e(a.batch_videos, trained_model=a.trained_model)
     else:
-        main(streams=tuple(a.streams), repeats=a.repeats)
+        main(streams=tuple(a.streams), repeats=a.repeats, config=a.config)
