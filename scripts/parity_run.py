@@ -68,7 +68,9 @@ def run_eval(args, nms, out_json):
     if args.fp32:
         argv += ['--fp32']
     if args.img_w:
-        argv += ['--img_w', str(args.img_w), '--img_h', str(args.img_h)]
+        argv += ['--img_w', str(args.img_w)]
+    if args.img_h:
+        argv += ['--img_h', str(args.img_h)]
     ea = eval_script.parse_args(argv)
     cfg, model, params = eval_script.load_model(ea)
     stats = eval_script.evaluate_dataset_batched(ea, cfg, model, params)
@@ -142,8 +144,11 @@ def main():
         d = (f'{100 * measured - expect:+.1f}'
              if measured is not None and expect is not None else '')
         print(f'{label:8s} {nms:10s} {m:>9s} {b:>9s} {d:>7s}  {out_json}')
-        summary[label] = {'measured': measured, 'baseline': expect,
-                          'nms': nms, 'results': out_json}
+        summary[label] = {
+            # both in mAP percentage points (the BASELINE.md unit)
+            'measured': None if measured is None else round(
+                100 * measured, 2),
+            'baseline': expect, 'nms': nms, 'results': out_json}
     with open(os.path.join(args.out_dir, 'parity_summary.json'), 'w') as fh:
         json.dump({'config': cfg.name, 'rows': summary}, fh, indent=2)
     print(f"summary -> {os.path.join(args.out_dir, 'parity_summary.json')}")

@@ -27,9 +27,15 @@ def main():
     p.add_argument('--bf16', action='store_true')
     p.add_argument('--config', default='STMask_plus_resnet50')
     p.add_argument('--top', type=int, default=40)
+    p.add_argument('--cpu', action='store_true',
+                   help='force the CPU backend (functional check without '
+                        'the TPU tunnel; env vars alone are unreliable '
+                        'here — see CLAUDE.md)')
     args = p.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
     from stmask_tpu.config import get_config
     from stmask_tpu.models import STMask

@@ -155,10 +155,15 @@ class Prefetcher:
             try:
                 for item in it:
                     self.q.put(self.put_fn(item))
-            except RuntimeError:
+            except BaseException as e:  # noqa: B036 — re-raised in consumer
                 import sys
-                if not sys.is_finalizing():  # real error, not shutdown
-                    raise
+                if isinstance(e, RuntimeError) and sys.is_finalizing():
+                    pass  # benign interpreter-shutdown race
+                else:
+                    # propagate to the consumer: a device/transfer error in
+                    # put_fn must fail the training loop, not silently end
+                    # the epoch
+                    self.q.put(_PrefetchError(e))
             finally:
                 self.q.put(self._done)
 
@@ -170,4 +175,13 @@ class Prefetcher:
             item = self.q.get()
             if item is self._done:
                 return
+            if isinstance(item, _PrefetchError):
+                raise item.exc
             yield item
+
+
+class _PrefetchError:
+    """Wrapper carrying a prefetch-worker exception to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc

@@ -135,16 +135,33 @@ def fast_base_transform(cfg: STMaskConfig):
     import jax
     import jax.numpy as jnp
 
-    mean = jnp.asarray(MEANS, jnp.float32)
-    std = jnp.asarray(STD, jnp.float32)
-    ih, iw, ph, pw = cfg.img_h, cfg.img_w, cfg.pad_h, cfg.pad_w
+    ih, iw = cfg.img_h, cfg.img_w
+    normalize_pad = normalize_pad_device(cfg)
 
     @jax.jit
     def transform(img_u8: 'jax.Array') -> 'jax.Array':
         x = img_u8.astype(jnp.float32)
         x = jax.image.resize(x, (ih, iw, 3), method='bilinear')
-        x = (x - mean) / std
-        return jnp.pad(x, ((0, ph - ih), (0, pw - iw), (0, 0)))
+        return normalize_pad(x)
+
+    return transform
+
+
+def normalize_pad_device(cfg: STMaskConfig):
+    """THE device-side normalize + zero-pad, shared by every upload path
+    (training batches, sequential + batched eval, FastBaseTransform):
+    uint8/float [..., img_h, img_w, 3] -> float32 [..., pad_h, pad_w, 3].
+    Traceable, not jitted — compose it inside larger programs."""
+    import jax.numpy as jnp
+
+    mean = jnp.asarray(MEANS, jnp.float32)
+    std = jnp.asarray(STD, jnp.float32)
+    ih, iw, ph, pw = cfg.img_h, cfg.img_w, cfg.pad_h, cfg.pad_w
+
+    def transform(img: 'jax.Array') -> 'jax.Array':
+        x = (img.astype(jnp.float32) - mean) / std
+        pad = [(0, 0)] * (x.ndim - 3) + [(0, ph - ih), (0, pw - iw), (0, 0)]
+        return jnp.pad(x, pad)
 
     return transform
 
@@ -161,19 +178,8 @@ def train_base_transform(cfg: STMaskConfig):
     remote-attached devices (bench_train --pipeline).
     """
     import jax
-    import jax.numpy as jnp
 
-    mean = jnp.asarray(MEANS, jnp.float32)
-    std = jnp.asarray(STD, jnp.float32)
-    ih, iw, ph, pw = cfg.img_h, cfg.img_w, cfg.pad_h, cfg.pad_w
-
-    @jax.jit
-    def transform(img_u8: 'jax.Array') -> 'jax.Array':
-        x = (img_u8.astype(jnp.float32) - mean) / std
-        pad = [(0, 0)] * (x.ndim - 3) + [(0, ph - ih), (0, pw - iw), (0, 0)]
-        return jnp.pad(x, pad)
-
-    return transform
+    return jax.jit(normalize_pad_device(cfg))
 
 
 def unpack_masks_device():

@@ -89,15 +89,11 @@ def build_video_step(cfg: STMaskConfig, model: STMask, debug: bool = False,
     step_fn = _make_step_fn(cfg, model, priors, debug=debug,
                             debug_fpn=debug_fpn)
     if uint8_input:
-        from ..config import MEANS, STD
-        mean = jnp.asarray(MEANS, jnp.float32)
-        std = jnp.asarray(STD, jnp.float32)
+        from ..data.transforms import normalize_pad_device
+        normalize_pad = normalize_pad_device(cfg)
 
         def outer(params, state, frame, is_first):
-            x = (frame.astype(jnp.float32) - mean) / std
-            frame = jnp.pad(x, ((0, cfg.pad_h - cfg.img_h),
-                                (0, cfg.pad_w - cfg.img_w), (0, 0)))
-            return step_fn(params, state, frame, is_first)
+            return step_fn(params, state, normalize_pad(frame), is_first)
     else:
         outer = step_fn
     video_step = jax.jit(outer, donate_argnums=(1,))
@@ -136,9 +132,8 @@ def build_video_step_batched(cfg: STMaskConfig, model: STMask,
     normalization (same fp32 elementwise ops).
     """
     priors = jnp.asarray(all_priors(cfg))
-    from ..config import MEANS, STD
-    mean = jnp.asarray(MEANS, jnp.float32)
-    std = jnp.asarray(STD, jnp.float32)
+    from ..data.transforms import normalize_pad_device
+    normalize_pad = normalize_pad_device(cfg)
 
     def batched_step(params, states, frames, is_first):
         param_dtype = jax.tree_util.tree_leaves(params)[0].dtype
@@ -180,11 +175,7 @@ def build_video_step_batched(cfg: STMaskConfig, model: STMask,
     @functools.partial(jax.jit, donate_argnums=(1,))
     def video_chunk(params, states, frames, is_first):
         if uint8_input:
-            x = frames.astype(jnp.float32)
-            x = (x - mean) / std
-            frames = jnp.pad(x, ((0, 0), (0, 0),
-                                 (0, cfg.pad_h - cfg.img_h),
-                                 (0, cfg.pad_w - cfg.img_w), (0, 0)))
+            frames = normalize_pad(frames)
 
         def body(sts, inp):
             fr, first = inp

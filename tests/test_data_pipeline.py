@@ -193,3 +193,23 @@ def test_u8_loader_augmented_quantization(synth_dataset):
     batch = next(iter(loader.epoch(0)))
     assert batch['images'].dtype == np.uint8
     assert batch['images'].shape == (2, 2, cfg.img_h, cfg.img_w, 3)
+
+
+def test_prefetcher_propagates_put_errors():
+    """A device/transfer error inside put_fn must fail the consuming loop,
+    not silently end the epoch (the worker used to swallow it and emit a
+    clean end-of-iteration)."""
+    from stmask_tpu.data.loader import Prefetcher
+
+    def boom(x):
+        raise RuntimeError('device exploded')
+
+    pf = Prefetcher(iter([1, 2]), put_fn=boom)
+    with pytest.raises(RuntimeError, match='device exploded'):
+        list(pf)
+
+
+def test_prefetcher_normal_epoch_end():
+    from stmask_tpu.data.loader import Prefetcher
+    assert list(Prefetcher(iter([1, 2, 3]), put_fn=lambda x: x * 10)) == \
+        [10, 20, 30]

@@ -123,13 +123,27 @@ def main(argv=None):
             print(f'Resumed from {path} at iteration {start_iter}')
 
     # data-parallel mesh over the largest device count dividing the batch
-    n_dev = len(jax.devices())
-    while args.batch_size % n_dev:
-        n_dev -= 1
-    mesh = make_mesh(n_dev)
-    if n_dev < len(jax.devices()):
-        print(f'batch {args.batch_size} not divisible by '
-              f'{len(jax.devices())} devices; using {n_dev}')
+    if jax.process_count() > 1:
+        # multi-process: every process's devices MUST participate (the
+        # mesh cannot be shrunk to a subset of hosts), and each host's
+        # LOCAL batch is laid out over its local devices by
+        # make_array_from_process_local_data — so the per-process batch
+        # must divide the local device count.
+        n_local = len(jax.local_devices())
+        if args.batch_size % n_local:
+            print(f'--batch_size {args.batch_size} (per process) must be '
+                  f'divisible by the {n_local} local devices in a '
+                  f'{jax.process_count()}-process run', file=sys.stderr)
+            return 2
+        mesh = make_mesh()
+    else:
+        n_dev = len(jax.devices())
+        while args.batch_size % n_dev:
+            n_dev -= 1
+        mesh = make_mesh(n_dev)
+        if n_dev < len(jax.devices()):
+            print(f'batch {args.batch_size} not divisible by '
+                  f'{len(jax.devices())} devices; using {n_dev}')
     state = replicate(mesh, state)
 
     log = Log(cfg.name, args.log_folder,
@@ -170,8 +184,12 @@ def main(argv=None):
             def put(b):
                 """Upload uint8 frames + bit-packed masks, then
                 normalize/pad + unpack on device — runs in the prefetch
-                thread so transfer + prep overlap the in-flight step."""
-                b = shard_batch(mesh, jax.tree_util.tree_map(jnp.asarray, b))
+                thread so transfer + prep overlap the in-flight step.
+                Leaves stay host numpy until shard_batch uploads them
+                directly with the target sharding (a jnp.asarray here
+                would add an extra device copy — and in multi-process
+                mode a full device->host->device round trip)."""
+                b = shard_batch(mesh, b)
                 b['images'] = base_transform(b['images'])
                 b['masks_proto'] = unpack_masks(
                     b['masks_proto'])[..., :cfg.pad_w // 4]
@@ -202,6 +220,12 @@ def main(argv=None):
                 if iteration >= cfg.max_iter:
                     break
                 if pending_delayed and iteration >= pending_delayed[0][0]:
+                    # materialize the last pre-change step's metrics BEFORE
+                    # apply_delayed resets the loss averages (reference
+                    # train.py:278-291: the reset starts a clean window)
+                    if pending_metrics is not None:
+                        consume(pending_metrics)
+                        pending_metrics = None
                     apply_delayed()
                 state, metrics = train_step(state, batch)
                 iteration += 1
