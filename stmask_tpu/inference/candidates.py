@@ -79,9 +79,16 @@ def detect_frame(cfg: STMaskConfig, preds: dict, priors: jax.Array,
     method = cfg.eval_nms_method
 
     if method in ('per_class', 'greedy'):
-        # mAP* family: per-class raw scores, no centerness weighting
-        # (reference fast_nms / traditional_nms take `scores` untouched)
-        scores_c = fg.T                                        # [C-1, P]
+        # mAP* family: per-class scores.  TF models run Detect_TF.fast_nms,
+        # which weights the per-class scores by centerness BEFORE the
+        # sort / suppression / second threshold and reports the weighted
+        # score (reference detection_TF.py:140-143) — unlike the non-TF
+        # detection.py:211 fast_nms, which takes raw scores.  greedy (the
+        # Cython traditional_nms path) exists only in detection.py and
+        # always takes raw scores.
+        weighted = (method == 'per_class' and cfg.temporal_fusion_module
+                    and cfg.train_centerness)
+        scores_c = (fg * centerness[:, None]).T if weighted else fg.T
         if method == 'per_class':
             res = fast_nms(boxes, scores_c, cfg.nms_thresh, cfg.nms_top_k,
                            conf_thresh=cfg.nms_conf_thresh, max_dets=d)

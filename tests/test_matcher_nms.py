@@ -302,3 +302,61 @@ def test_cc_nms_as_miou_blending():
                           mask_fn=lambda idx: jnp.asarray(masks)[idx])
     assert int(np.asarray(plain.valid).sum()) == 1
     assert int(np.asarray(blended.valid).sum()) == 2
+
+
+def test_per_class_weights_centerness_for_tf():
+    """Detect_TF.fast_nms (the mAP* path for TF models) weights per-class
+    scores by centerness BEFORE sort/suppression (detection_TF.py:140-143):
+    a high-raw-score low-centerness box must LOSE to an overlapping
+    high-centerness one.  Non-TF models use detection.py fast_nms on raw
+    scores, where the raw winner suppresses instead."""
+    import jax.numpy as jnp
+    from stmask_tpu.config import get_config
+    from stmask_tpu.inference.candidates import detect_frame
+    from stmask_tpu.ops.boxes import encode
+
+    cfg = get_config('STMask_plus_resnet50').replace(
+        img_w=128, img_h=96, eval_nms_method='per_class')
+    assert cfg.temporal_fusion_module and cfg.train_centerness
+    p = 40
+    priors = np.tile(np.array([[0.5, 0.5, 0.5, 0.5]], np.float32), (p, 1))
+    boxes = np.array([
+        [0.10, 0.10, 0.40, 0.40],   # A: raw 0.9, centerness 0.1 -> 0.09
+        [0.11, 0.10, 0.41, 0.41],   # B: raw 0.6, centerness 0.9 -> 0.54
+    ], np.float32)
+    conf = np.zeros((p, cfg.num_classes), np.float32)
+    conf[:, 0] = 1.0
+    cent = np.ones((p, 1), np.float32)
+    loc = np.zeros((p, 4), np.float32)
+    for i, (raw, c) in enumerate(((0.9, 0.1), (0.6, 0.9))):
+        import jax.numpy as _j
+        loc[i] = np.asarray(encode(_j.asarray(boxes[i:i + 1]),
+                                   _j.asarray(priors[i:i + 1])))[0]
+        conf[i, 0] = 1.0 - raw
+        conf[i, 1] = raw
+        cent[i, 0] = c
+    preds = {
+        'loc': jnp.asarray(loc), 'conf': jnp.asarray(conf),
+        'mask_coeff': jnp.zeros((p, 32)),
+        'track': jnp.ones((p, cfg.embed_dim)) / np.sqrt(cfg.embed_dim),
+        'centerness': jnp.asarray(cent),
+    }
+    det = detect_frame(cfg, preds, jnp.asarray(priors))
+    v = np.asarray(det.valid)
+    assert int(v.sum()) == 1
+    k = int(np.nonzero(v)[0][0])
+    # the weighted winner is B (0.54); its reported score is the weighted one
+    np.testing.assert_allclose(np.asarray(det.box)[k], boxes[1], atol=1e-5)
+    np.testing.assert_allclose(float(np.asarray(det.score)[k]), 0.54,
+                               atol=1e-5)
+
+    # non-TF semantics: raw winner A suppresses B
+    det_raw = detect_frame(cfg.replace(temporal_fusion_module=False),
+                           preds, jnp.asarray(priors))
+    v2 = np.asarray(det_raw.valid)
+    assert int(v2.sum()) == 1
+    k2 = int(np.nonzero(v2)[0][0])
+    np.testing.assert_allclose(np.asarray(det_raw.box)[k2], boxes[0],
+                               atol=1e-5)
+    np.testing.assert_allclose(float(np.asarray(det_raw.score)[k2]), 0.9,
+                               atol=1e-5)
