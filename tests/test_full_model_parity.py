@@ -34,7 +34,7 @@ def _randomize_dcn(module):
             if isinstance(m, NaiveDCNv2):
                 m.conv_offset_mask.weight.normal_(std=0.01)
                 m.conv_offset_mask.bias.normal_(std=0.5)
-            if isinstance(m, TFeatureAlign):
+            if isinstance(m, TFeatureAlign) and hasattr(m, 'conv_offset'):
                 m.conv_offset.weight.normal_(std=0.1)
 
 
@@ -44,6 +44,10 @@ def _randomize_dcn(module):
     ('STMask_plus_resnet50', dict(dcn_layers=(0, 4, 6, 3), dcn_interval=2)),
     ('STMask_plus_resnet50_ada',
      dict(dcn_layers=(0, 4, 6, 3), dcn_interval=2, fcb_ada=True)),
+    ('STMask_plus_resnet50_ali',
+     dict(dcn_layers=(0, 4, 6, 3), dcn_interval=2, fcb_ali=True)),
+    ('STMask_plus_base',  # R101-DCN-interval3 (the reference flagship depth)
+     dict(layers=(3, 4, 23, 3), dcn_layers=(0, 4, 23, 3), dcn_interval=3)),
 ])
 def test_full_forward_parity(cfg_name, mirror_kwargs):
     cfg = get_config(cfg_name).replace(img_w=128, img_h=96)

@@ -101,15 +101,41 @@ class NaiveDCNv2(nn.Module):
                                    dilation=self.dilation)
 
 
-class TFeatureAlign(nn.Module):
-    """FCB (mmcv DeformConv2d v1) mirror, ada mode — reference
-    Featurealign.py:20-44 with deform_groups=1 (STMask.py:95)."""
+def _torch_ali_offsets(shape, ks_h, ks_w):
+    """Analytic 'ali' FCB offsets (reference Featurealign.py:46-69):
+    box-delta-driven per-tap (dy, dx), interleaved -> [B, 2k, H, W]."""
+    bs, _, h, w = shape.shape
+    v0, v1 = 0.1, 0.2
+    k = ks_h * ks_w
+    dxy = shape[:, :2].reshape(bs, 2, -1) * v0                 # [B, 2, hw]
+    dx = (dxy[:, 0] * ks_w).unsqueeze(1).expand(bs, k, h * w)
+    dy = (dxy[:, 1] * ks_h).unsqueeze(1).expand(bs, k, h * w)
+    dwh = torch.exp(shape[:, 2:].reshape(bs, 2, -1) * v1) - 1  # [B, 2, hw]
 
-    def __init__(self, in_ch, out_ch, kernel_size):
+    dh_r = (torch.arange(ks_h, dtype=shape.dtype) - (ks_h - 1) / 2)
+    dh_r = dh_r.reshape(-1, 1).expand(ks_h, ks_w).reshape(-1)  # [k] row-major
+    dw_r = (torch.arange(ks_w, dtype=shape.dtype)
+            - (ks_w - 1) / 2).repeat(ks_h)
+    dh = dwh[:, 1].unsqueeze(1) * dh_r.reshape(1, -1, 1)       # [B, k, hw]
+    dw = dwh[:, 0].unsqueeze(1) * dw_r.reshape(1, -1, 1)
+
+    off = torch.stack([dy + dh, dx + dw], dim=1)               # [B, 2, k, hw]
+    return off.permute(0, 2, 1, 3).reshape(bs, 2 * k, h, w)
+
+
+class TFeatureAlign(nn.Module):
+    """FCB (mmcv DeformConv2d v1) mirror — reference Featurealign.py:20-73
+    with deform_groups=1 (STMask.py:95). ``ali=False`` is ada mode (1x1
+    predicted offsets); ``ali=True`` computes offsets analytically from the
+    box deltas (no conv_offset parameter)."""
+
+    def __init__(self, in_ch, out_ch, kernel_size, ali=False):
         super().__init__()
         kh, kw = kernel_size
         self.kernel_size = kernel_size
-        self.conv_offset = nn.Conv2d(4, 2 * kh * kw, 1, bias=False)
+        self.ali = ali
+        if not ali:
+            self.conv_offset = nn.Conv2d(4, 2 * kh * kw, 1, bias=False)
         # mmcv DeformConv2d exposes a bare ``weight`` parameter (no bias);
         # wrap in a module so the state_dict key is conv_adaption.weight.
         self.conv_adaption = nn.Module()
@@ -119,7 +145,10 @@ class TFeatureAlign(nn.Module):
                               padding=((kh - 1) // 2, (kw - 1) // 2))
 
     def forward(self, x, shape):
-        offset = self.conv_offset(shape.detach())
+        if self.ali:
+            offset = _torch_ali_offsets(shape.detach(), *self.kernel_size)
+        else:
+            offset = self.conv_offset(shape.detach())
         x = F.relu(naive_deform_conv2d(x, offset, self.conv_adaption.weight))
         return self.conv(x)
 
@@ -253,10 +282,11 @@ class THead(nn.Module):
 
     def __init__(self, in_ch=256, num_classes=41, embed_dim=128,
                  mask_dim=32,
-                 kernels=((3, 3), (3, 5), (5, 3)), fcb_ada=False):
+                 kernels=((3, 3), (3, 5), (5, 3)), fcb_ada=False,
+                 fcb_ali=False):
         super().__init__()
         self.kernels = kernels
-        self.fcb_ada = fcb_ada
+        self.fcb = fcb_ada or fcb_ali
         self.upfeature = nn.Sequential(nn.Conv2d(in_ch, 256, 3, padding=1))
 
         def extra():
@@ -277,9 +307,10 @@ class THead(nn.Module):
 
         self.bbox_layer = bank(4)
         self.centerness_layer = bank(1)
-        if fcb_ada:
+        if fcb_ada or fcb_ali:
             self.conf_layer = nn.ModuleList(
-                [TFeatureAlign(256, num_classes, k) for k in kernels])
+                [TFeatureAlign(256, num_classes, k, ali=fcb_ali)
+                 for k in kernels])
         else:
             self.conf_layer = bank(num_classes)
         self.track_layer = bank(embed_dim)
@@ -302,7 +333,7 @@ class THead(nn.Module):
             bbox.append(bbox_cur.permute(0, 2, 3, 1).contiguous())
             center.append(self.centerness_layer[k](bbox_x)
                           .permute(0, 2, 3, 1).contiguous())
-            if self.fcb_ada:
+            if self.fcb:
                 conf_cur = self.conf_layer[k](conf_x, bbox_cur.detach())
             else:
                 conf_cur = self.conf_layer[k](conf_x)
@@ -349,14 +380,16 @@ class TSTMask(nn.Module):
     """Full eval-forward mirror producing reference-style state_dict keys."""
 
     def __init__(self, num_classes=41, dcn_layers=(0, 0, 0, 0),
-                 dcn_interval=1, fcb_ada=False):
+                 dcn_interval=1, fcb_ada=False, fcb_ali=False,
+                 layers=(3, 4, 6, 3)):
         super().__init__()
-        self.backbone = TResNet(dcn_layers=dcn_layers,
+        self.backbone = TResNet(layers=layers, dcn_layers=dcn_layers,
                                 dcn_interval=dcn_interval)
         self.fpn = TFPN()
         self.proto_net = TProtoNet().net
         self.prediction_layers = nn.ModuleList(
-            [THead(num_classes=num_classes, fcb_ada=fcb_ada)])
+            [THead(num_classes=num_classes, fcb_ada=fcb_ada,
+                   fcb_ali=fcb_ali)])
         self.TemporalNet = TTemporalNet(2 * 256 + 121)
 
     def forward(self, x):
