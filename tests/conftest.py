@@ -21,5 +21,13 @@ if os.environ.get('STMASK_TEST_TPU') != '1':
     # what actually sticks
     import jax
     jax.config.update('jax_platforms', 'cpu')
+    # CPU test compiles get their own persistent-cache dir so a test run
+    # never contends on the TPU cache's file lock with a concurrent
+    # benchmark (two processes sharing one cache dir serialize on it —
+    # see stmask_tpu/__init__.py and CLAUDE.md).
+    if not os.environ.get('STMASK_NO_COMPILE_CACHE'):
+        _cpu_cache = os.path.expanduser('~/.cache/jax_stmask_cpu')
+        os.makedirs(_cpu_cache, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', _cpu_cache)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
