@@ -46,9 +46,17 @@ def main():
                         'e.g. --platforms tpu cpu')
     p.add_argument('--cpu', action='store_true',
                    help='force the CPU backend')
+    p.add_argument('--bench', type=int, default=0, metavar='PASSES',
+                   help='after writing, reload the artifact and time '
+                        'PASSES passes of ~200 frames each (median '
+                        'artifact FPS — proves the serving artifact '
+                        'matches the live pipeline throughput)')
     # reused by eval.load_model
     p.add_argument('--nms', default=None)
     p.add_argument('--nms_as_miou', action='store_true')
+    p.add_argument('--img_w', type=int, default=None,
+                   help='override input width (e.g. small smoke exports)')
+    p.add_argument('--img_h', type=int, default=None)
     args = p.parse_args()
 
     import jax
@@ -75,6 +83,60 @@ def main():
           f'platforms={meta["platforms"]} batched={meta["batched"]} '
           f'chunk={meta["chunk_size"]} frame={meta["frame_shape"]} '
           f'{meta["frame_dtype"]}')
+
+    if args.bench:
+        bench_artifact(args.out, args.bench)
+
+
+def bench_artifact(path: str, repeats: int, target_frames: int = 200):
+    """Reload ``path`` on the serving-host code path (``load_exported``,
+    no model code) and time it with true value-fetch syncs (see bench.py
+    ``_drain`` — ``block_until_ready`` is a no-op under the axon tunnel).
+    Prints one JSON line with median/min/max artifact FPS, directly
+    comparable to ``bench.py``'s live-pipeline numbers."""
+    import json
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stmask_tpu.export import load_exported
+
+    step, meta = load_exported(path)
+    state = step.init_state()
+    rng = np.random.RandomState(0)
+    shape, dtype = meta['frame_shape'], np.dtype(meta['frame_dtype'])
+    frames = jnp.asarray(
+        rng.randint(0, 255, shape).astype(dtype) if dtype == np.uint8
+        else rng.randn(*shape).astype(dtype))
+    batched = int(meta['batched'])
+    frames_per_call = ((meta['chunk_size'] * batched) if batched else 1)
+    if batched:
+        first = jnp.zeros((meta['chunk_size'], batched), bool)
+    else:
+        first = jnp.asarray(False)
+    n_calls = max(1, target_frames // frames_per_call)
+
+    for _ in range(3):  # compile + warmup
+        state, out = step(state, frames, first)
+    float(jnp.sum(out.box))
+
+    fps = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            state, out = step(state, frames, first)
+        float(jnp.sum(out.box))
+        fps.append(n_calls * frames_per_call
+                   / (time.perf_counter() - t0))
+    fps.sort()
+    print(json.dumps({
+        'metric': 'serving_artifact_fps',
+        'artifact': path, 'batched': batched,
+        'chunk': meta['chunk_size'], 'repeats': repeats,
+        'value': round(fps[len(fps) // 2], 2),
+        'min': round(fps[0], 2), 'max': round(fps[-1], 2),
+        'unit': 'frames/s'}))
 
 
 if __name__ == '__main__':
