@@ -84,8 +84,10 @@ def main():
           f'chunk={meta["chunk_size"]} frame={meta["frame_shape"]} '
           f'{meta["frame_dtype"]}')
 
-    if args.bench:
+    if args.bench > 0:
         bench_artifact(args.out, args.bench)
+    elif args.bench < 0:
+        p.error(f'--bench must be >= 1, got {args.bench}')
 
 
 def bench_artifact(path: str, repeats: int, target_frames: int = 200):
@@ -107,17 +109,23 @@ def bench_artifact(path: str, repeats: int, target_frames: int = 200):
     rng = np.random.RandomState(0)
     shape, dtype = meta['frame_shape'], np.dtype(meta['frame_dtype'])
     frames = jnp.asarray(
-        rng.randint(0, 255, shape).astype(dtype) if dtype == np.uint8
+        rng.randint(0, 256, shape).astype(dtype) if dtype == np.uint8
         else rng.randn(*shape).astype(dtype))
     batched = int(meta['batched'])
     frames_per_call = ((meta['chunk_size'] * batched) if batched else 1)
     if batched:
         first = jnp.zeros((meta['chunk_size'], batched), bool)
+        first_start = first.at[0].set(True)
     else:
         first = jnp.asarray(False)
+        first_start = jnp.asarray(True)
     n_calls = max(1, target_frames // frames_per_call)
 
-    for _ in range(3):  # compile + warmup
+    # Video-start reset on the first warmup call (mirrors bench.py):
+    # without it the tracker runs from an all-zero bank and, with bf16
+    # weights, tracked outputs can degenerate.
+    state, out = step(state, frames, first_start)
+    for _ in range(2):  # compile + warmup
         state, out = step(state, frames, first)
     float(jnp.sum(out.box))
 

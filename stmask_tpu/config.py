@@ -141,6 +141,16 @@ class STMaskConfig:
     mask_proto_mask_activation: str = 'sigmoid'
     mask_proto_coeff_activation: str = 'tanh'
     discard_mask_area: int = 25
+    # prototype regularization 'P': None | 'l1' | 'disj'
+    # (reference config.py:450, multibox_loss.py:188-192)
+    mask_proto_loss: Optional[str] = None
+    # coefficient diversity loss 'D' (reference config.py:456-457 flag,
+    # alpha overridden to 5 by STMask_base_config, config.py:635)
+    mask_proto_coeff_diversity_loss: bool = False
+    mask_proto_coeff_diversity_alpha: float = 5.0
+    # direct mask-IoU loss 'MIoU' (reference config.py:713,
+    # multibox_loss.py:618-626,638-639)
+    use_maskiou_loss: bool = False
 
     # ---- mask re-scoring (FastMaskIoUNet; reference config.py:596-633,
     # off in every STMask preset but part of the component surface) ----

@@ -4,7 +4,10 @@ Re-design of reference ``layers/modules/multibox_loss.py`` (702 LoC of
 per-image Python loops) as padded, masked, ``vmap``-ed JAX: one compiled
 program per batch.  Loss keys mirror the reference (``train.py:120-121``):
 BIoU (DIoU box), C (OHEM conf), M (lincomb mask BCE), T (track contrastive),
-center (centerness), B_shift / M_shift (temporal fusion), S (semantic seg).
+center (centerness), B_shift / M_shift (temporal fusion), S (semantic seg),
+plus the dormant reference knobs D (coeff diversity), P (proto
+regularization), MIoU (direct mask-IoU), I (FastMaskIoUNet) — every
+reference loss key is producible by some config.
 
 Deliberate TPU deviations (documented for the parity audit):
   * mask losses are computed at prototype resolution against downsampled gt
@@ -197,11 +200,13 @@ def focal_conf_loss(cfg: STMaskConfig, preds: Dict,
 
 
 def coeff_diversity_loss(cfg: STMaskConfig, preds: Dict,
-                         t: MatchedTargets,
-                         alpha: float = 5.0) -> jax.Array:
-    """Contrastive diversity over mask coefficients within a clip
-    (multibox_loss.py:519-542): same-instance coefficients pulled together,
-    different pushed apart."""
+                         t: MatchedTargets) -> jax.Array:
+    """Contrastive diversity over mask coefficients, grouped per 2-frame
+    clip (multibox_loss.py:519-542; clip accumulation :582-590): within a
+    clip, same-instance coefficients are pulled together and different
+    instances pushed apart, weighted by the outer product of the per-frame
+    positive weights.  Flag-gated by ``mask_proto_coeff_diversity_loss``
+    (reference config.py:456, dispatch multibox_loss.py:641-642)."""
     cap = cfg.masks_to_train
 
     def gather(pos, pos_w, ids, coeff):
@@ -210,18 +215,71 @@ def coeff_diversity_loss(cfg: STMaskConfig, preds: Dict,
 
     co, ids, w = jax.vmap(gather)(t.pos, t.pos_w, t.ids_t,
                                   preds['mask_coeff'])
-    co = co.reshape(-1, co.shape[-1])
-    ids = ids.reshape(-1)
-    w = w.reshape(-1)
-    norm = co / jnp.maximum(jnp.linalg.norm(co, axis=-1, keepdims=True),
-                            1e-12)
-    cos = (norm @ norm.T + 1.0) / 2.0
-    inst_eq = ((ids[:, None] == ids[None, :]) & (ids[:, None] > 0)) \
-        .astype(jnp.float32)
-    loss = -(jnp.log(jnp.clip(cos, EPS)) * inst_eq
-             + jnp.log(jnp.clip(1.0 - cos, EPS)) * (1.0 - inst_eq))
-    lw = w[:, None] * w[None, :]
-    return alpha * jnp.sum(loss * lw)
+    # frames are clip-major flattened [B, 2] -> [2B]; fold back to clips
+    b = co.shape[0] // 2
+    co = co.reshape(b, 2 * cap, co.shape[-1])
+    ids = ids.reshape(b, 2 * cap)
+    w = w.reshape(b, 2 * cap)
+
+    def per_clip(co_i, ids_i, w_i):
+        norm = co_i / jnp.maximum(
+            jnp.linalg.norm(co_i, axis=-1, keepdims=True), 1e-12)
+        cos = (norm @ norm.T + 1.0) / 2.0
+        inst_eq = ((ids_i[:, None] == ids_i[None, :])
+                   & (ids_i[:, None] > 0)).astype(jnp.float32)
+        loss = -(jnp.log(jnp.clip(cos, EPS)) * inst_eq
+                 + jnp.log(jnp.clip(1.0 - cos, EPS)) * (1.0 - inst_eq))
+        lw = w_i[:, None] * w_i[None, :]
+        return jnp.sum(loss * lw)
+
+    return cfg.mask_proto_coeff_diversity_alpha * jnp.sum(
+        jax.vmap(per_clip)(co, ids, w))
+
+
+def proto_loss(cfg: STMaskConfig, preds: Dict) -> jax.Array:
+    """Prototype regularization 'P' (multibox_loss.py:188-192).
+
+    'l1': mean |proto| scaled by 1/l1_expected_area * l1_alpha with the
+    reference's hardcoded constants (multibox_loss.py:46-49);
+    'disj': encourage disjoint prototypes, -mean(max_c log_softmax(proto)).
+    """
+    proto = preds['proto']
+    if cfg.mask_proto_loss == 'l1':
+        l1_expected_area = 20 * 20 / 70 / 70
+        l1_alpha = 0.1
+        return jnp.mean(jnp.abs(proto)) / l1_expected_area * l1_alpha
+    if cfg.mask_proto_loss == 'disj':
+        return -jnp.mean(
+            jnp.max(jax.nn.log_softmax(proto, axis=-1), axis=-1))
+    raise ValueError(f'unknown mask_proto_loss {cfg.mask_proto_loss!r}')
+
+
+def maskiou_direct_loss(cfg: STMaskConfig, priors: jax.Array, preds: Dict,
+                        t: MatchedTargets,
+                        gt_masks: jax.Array) -> jax.Array:
+    """Direct mask-IoU loss 'MIoU' (multibox_loss.py:618-626,638-639;
+    flag ``use_maskiou_loss`` reference config.py:713): sum of (1 - IoU)
+    of each positive's *hard-binarized* soft mask vs its gt.
+
+    Reference quirk reproduced exactly: ``.gt(0.5).float()`` detaches the
+    prediction, so the term carries NO gradient — it only adds the
+    current batch's (1 - IoU) sum to the loss value.  ``stop_gradient``
+    makes that explicit here.  Computed at prototype resolution (see
+    module docstring deviation note)."""
+    def per_frame(proto, coeff_all, loc, idx_t, pos, gmasks):
+        idx, valid, box, pred, mask_t = _mask_pred_frame(
+            cfg, priors, proto, coeff_all, loc, idx_t, pos, gmasks)
+        pred_bin = jax.lax.stop_gradient((pred > 0.5).astype(jnp.float32))
+        inter = jnp.sum(pred_bin * mask_t, axis=(1, 2))
+        union = jnp.sum(pred_bin, axis=(1, 2)) \
+            + jnp.sum(mask_t, axis=(1, 2)) - inter
+        per = 1.0 - inter / jnp.maximum(union, EPS)
+        return jnp.sum(jnp.where(valid, per, 0.0))
+
+    per_frame_losses = jax.vmap(per_frame)(
+        preds['proto'], preds['mask_coeff'], preds['loc'], t.idx_t, t.pos,
+        gt_masks)
+    return cfg.maskiou_alpha * jnp.sum(per_frame_losses)
 
 
 def class_existence_loss(cfg: STMaskConfig, class_logits: jax.Array,
@@ -500,6 +558,13 @@ def compute_losses(cfg: STMaskConfig, preds: Dict, gt: Dict,
     if cfg.train_masks:
         losses['M'] = lincomb_mask_loss(cfg, priors, preds, t,
                                         gt['masks_proto'])
+        if cfg.use_maskiou_loss:
+            losses['MIoU'] = maskiou_direct_loss(cfg, priors, preds, t,
+                                                 gt['masks_proto'])
+        if cfg.mask_proto_coeff_diversity_loss:
+            losses['D'] = coeff_diversity_loss(cfg, preds, t)
+        if cfg.mask_proto_loss is not None:
+            losses['P'] = proto_loss(cfg, preds)
     if cfg.use_maskiou and maskiou_fn is not None:
         losses['I'] = maskiou_loss(cfg, maskiou_fn, priors, preds, t,
                                    gt['masks_proto'])

@@ -154,6 +154,94 @@ def test_coeff_diversity_loss_runs():
     assert np.isfinite(loss)
 
 
+def test_coeff_diversity_prefers_similar_same_instance_coeffs():
+    """'D' semantics (multibox_loss.py:519-542): same-instance coefficients
+    aligned within a clip should score lower than anti-aligned ones."""
+    rng = np.random.RandomState(7)
+    gt = _gt(rng)
+    priors = jnp.asarray(P)
+    preds = _preds(rng)
+    t = L.match_batch(CFG, priors, preds, gt)
+
+    co = np.zeros((F, NP_, 32), np.float32)
+    co[..., 0] = 1.0                       # all positives identical
+    good = dict(preds)
+    good['mask_coeff'] = jnp.asarray(co)
+    co2 = co.copy()
+    co2[1] = 0.0
+    co2[1, :, 1] = 1.0                     # frame 2 orthogonal to frame 1
+    bad = dict(preds)
+    bad['mask_coeff'] = jnp.asarray(co2)
+    lg = float(L.coeff_diversity_loss(CFG, good, t))
+    lb = float(L.coeff_diversity_loss(CFG, bad, t))
+    assert np.isfinite(lg) and np.isfinite(lb) and lg < lb
+
+
+def test_proto_loss_l1_and_disj():
+    """'P' knob (multibox_loss.py:188-192 + hardcoded constants :46-49)."""
+    rng = np.random.RandomState(8)
+    preds = _preds(rng)
+    cfg_l1 = CFG.replace(mask_proto_loss='l1')
+    got = float(L.proto_loss(cfg_l1, preds))
+    want = float(np.mean(np.abs(np.asarray(preds['proto'])))
+                 / (20 * 20 / 70 / 70) * 0.1)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    cfg_dj = CFG.replace(mask_proto_loss='disj')
+    assert np.isfinite(float(L.proto_loss(cfg_dj, preds)))
+
+
+def test_maskiou_direct_loss_zero_at_perfect_mask():
+    """'MIoU' (multibox_loss.py:618-626): binarized pred == gt -> IoU 1 ->
+    loss 0; a wrong mask gives a positive loss. Also: no gradient flows
+    (reference .gt(0.5) detach quirk)."""
+    rng = np.random.RandomState(9)
+    gt = _gt(rng)
+    priors = jnp.asarray(P)
+    proto = np.full((F, HP, WP, 32), -20.0, np.float32)
+    proto[..., 0] = np.asarray(gt['masks_proto'][:, 0] * 40.0 - 20.0)
+    preds = _preds(rng)
+    preds['proto'] = jnp.asarray(proto)
+    co = np.zeros((F, NP_, 32), np.float32)
+    co[..., 0] = 1.0
+    good = dict(preds, mask_coeff=jnp.asarray(co))
+    bad = dict(preds, mask_coeff=jnp.asarray(-co))
+    # perfect loc so the crop box covers the gt
+    enc = B.encode(jnp.broadcast_to(gt['boxes'][:, 0:1], (F, NP_, 4)),
+                   priors[None])
+    good['loc'] = bad['loc'] = jnp.asarray(enc)
+    t = L.match_batch(CFG, priors, good, gt)
+    lg = float(L.maskiou_direct_loss(CFG, priors, good, t,
+                                     gt['masks_proto']))
+    lb = float(L.maskiou_direct_loss(CFG, priors, bad, t,
+                                     gt['masks_proto']))
+    assert lg < 0.35 * CFG.maskiou_alpha      # near-perfect IoU
+    assert lb > lg
+    # detached: zero gradient wrt coefficients
+    g = jax.grad(lambda c: L.maskiou_direct_loss(
+        CFG, priors, dict(good, mask_coeff=c), t, gt['masks_proto']))(
+            good['mask_coeff'])
+    assert float(jnp.max(jnp.abs(g))) == 0.0
+
+
+def test_dormant_knobs_dispatch_through_compute_losses():
+    """VERDICT r3 #6: every reference loss key producible by some config —
+    D/P/MIoU appear in compute_losses output iff their flags are on."""
+    rng = np.random.RandomState(10)
+    gt = _gt(rng)
+    preds = _preds(rng)
+    priors = jnp.asarray(P)
+
+    off = L.compute_losses(CFG, preds, gt, priors)
+    assert not {'D', 'P', 'MIoU'} & set(off)
+
+    cfg_on = CFG.replace(mask_proto_coeff_diversity_loss=True,
+                         mask_proto_loss='l1', use_maskiou_loss=True)
+    on = L.compute_losses(cfg_on, preds, gt, priors)
+    assert {'D', 'P', 'MIoU'} <= set(on)
+    for k in ('D', 'P', 'MIoU'):
+        assert np.isfinite(float(on[k])), k
+
+
 def test_ohem_and_centerness_match_reference_torch_at_batch8():
     """VERDICT #6: the reference's OHEM conf + centerness normalization
     (multibox_loss.py:428-457 — per-image pos weights, neg_weights
