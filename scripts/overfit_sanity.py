@@ -95,6 +95,10 @@ def main():
     p.add_argument('--bf16', action='store_true',
                    help='bf16 mixed-precision train step '
                         '(build_train_step compute_dtype)')
+    p.add_argument('--config', default='STMask_plus_resnet50',
+                   help='model preset — FCB (_ada/_ali) and R101 (_base*) '
+                        'presets validate the deformable-v1 training '
+                        'adjoint through the aligned heads (VERDICT r3 #5)')
     args = p.parse_args()
 
     if args.cpu:
@@ -114,7 +118,7 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     ann_file, img_prefix = make_dataset(args.out)
 
-    cfg = get_config('STMask_plus_resnet50').replace(
+    cfg = get_config(args.config).replace(
         lr=args.lr, lr_warmup_until=100, lr_steps=(10 ** 9,),
         max_iter=args.steps,
         # from-scratch training: let the BN affine learn (the stats stay

@@ -97,6 +97,11 @@ def main():
                     action='store_false', default=True,
                     help="only write the results JSONs (e.g. for the "
                          "YTVIS eval server's unannotated valid split)")
+    ap.add_argument('--with_greedy', action='store_true',
+                    help='add a third pass with exact sequential greedy '
+                         'NMS (Cython-parity semantics) — the strictest '
+                         'suppression protocol; no published baseline '
+                         'column, reported for completeness')
     ap.add_argument('--dryrun', action='store_true',
                     help='run on the synthetic overfit dataset (no real '
                          'data needed; exercises the whole runbook)')
@@ -125,7 +130,10 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
     rows = []
     cfg = None
-    for label, nms in (('mAP', 'cc'), ('mAP*', 'per_class')):
+    passes = [('mAP', 'cc'), ('mAP*', 'per_class')]
+    if args.with_greedy:
+        passes.append(('mAP(g)', 'greedy'))
+    for label, nms in passes:
         out_json = os.path.join(args.out_dir, f'results_{nms}.json')
         print(f'=== eval with {nms} fast NMS -> {out_json}', flush=True)
         cfg, stats = run_eval(args, nms, out_json)
@@ -133,6 +141,7 @@ def main():
                      stats.get('mAP', stats.get('AP'))))
 
     base = BASELINE_ROWS.get(cfg.name if cfg else '', (None, None))
+    base = tuple(base) + (None,) * (len(rows) - len(base))
     print()
     print(f'config: {cfg.name}')
     print(f'{"metric":8s} {"nms":10s} {"measured":>9s} {"baseline":>9s} '

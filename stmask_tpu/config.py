@@ -401,9 +401,14 @@ def get_config(name: str) -> STMaskConfig:
 
 def config_from_checkpoint_name(path: str) -> Optional[STMaskConfig]:
     """Infer the config from a checkpoint filename like the reference does
-    (reference eval.py:773-778, utils/functions.py:96-128)."""
+    (reference eval.py:773-778, utils/functions.py:96-128).
+
+    Longest-prefix match after stripping the extension — without the
+    strip, ``STMask_plus_base_ada.pth`` would fall back to the shorter
+    ``STMask_plus_base`` prefix (its last part being ``ada.pth``)."""
     import os
     stem = os.path.basename(path)
+    stem = stem.split('.', 1)[0]
     parts = stem.split('_')
     for end in range(len(parts), 0, -1):
         cand = '_'.join(parts[:end])

@@ -113,3 +113,18 @@ def test_compute_masks_lstsq_fit():
     assert approx.shape == (2, h, w)
     assert ious[0] > 0.99
     assert 0 <= ious[1] <= 1
+
+
+def test_config_from_checkpoint_name_longest_prefix():
+    """Filename -> config inference (reference eval.py:773-778): the
+    longest registry prefix must win even with an extension and iteration
+    suffix — 'STMask_plus_base_ada.pth' must NOT fall back to the shorter
+    'STMask_plus_base' (pre-fix bug: the unstripped '.pth' broke the last
+    part)."""
+    from stmask_tpu.config import config_from_checkpoint_name as infer
+    assert infer('/w/STMask_plus_base_ada.pth').name == 'STMask_plus_base_ada'
+    assert infer('STMask_plus_base_ali_54_100000.pth').name == \
+        'STMask_plus_base_ali'
+    assert infer('STMask_plus_base.pth').name == 'STMask_plus_base'
+    assert infer('STMask_plus_resnet50.pth').name == 'STMask_plus_resnet50'
+    assert infer('unrelated_model.pth') is None
