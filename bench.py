@@ -31,6 +31,15 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_FPS = 29.3
+# reference RTX 2080 Ti FPS per YTVIS2019 config (README.md:102-107)
+BASELINE_FPS_BY_CONFIG = {
+    'STMask_plus_resnet50': 29.3,
+    'STMask_plus_resnet50_ali': 27.8,
+    'STMask_plus_resnet50_ada': 28.6,
+    'STMask_plus_base': 24.5,
+    'STMask_plus_base_ali': 22.1,
+    'STMask_plus_base_ada': 23.4,
+}
 WARMUP = 5
 FRAMES = 200
 
@@ -151,11 +160,12 @@ def main(streams=(1, 4, 8), repeats=5, config='STMask_plus_resnet50'):
     metric = 'ytvis2019_stream_fps_per_chip_r50dcn_fca_tf_360x640'
     if config != 'STMask_plus_resnet50':
         metric = f'ytvis2019_stream_fps_per_chip_{config.lower()}_360x640'
+    baseline = BASELINE_FPS_BY_CONFIG.get(config, BASELINE_FPS)
     print(json.dumps({
         'metric': metric,
         'value': best,
         'unit': 'frames/s',
-        'vs_baseline': round(best / BASELINE_FPS, 3),
+        'vs_baseline': round(best / baseline, 3),
         'best_streams': int(best_n),
         'repeats': repeats,
         'streams': results,

@@ -125,7 +125,8 @@ def eval_program(repeats: int) -> dict:
                   frames_per_call=n_videos * chunk)
 
 
-def train_program(bf16: bool, repeats: int) -> dict:
+def train_program(bf16: bool, repeats: int,
+                  assume_ms: float | None = None) -> dict:
     import jax
     import jax.numpy as jnp
     from stmask_tpu.config import get_config
@@ -168,6 +169,18 @@ def train_program(bf16: bool, repeats: int) -> dict:
     compiled = train_step.lower(state, batch).compile()
     cost = _cost(compiled)
 
+    if assume_ms is not None:
+        # FLOPs/bytes from THIS compile (any backend), wall from a prior
+        # measured TPU run (e.g. scripts/bench_train.py) — lets the row be
+        # produced without a ~35 min cold TPU train compile.  cost_analysis
+        # runs on backend-optimized HLO, so CPU-derived FLOPs can deviate
+        # slightly from the TPU compile's; label the row accordingly.
+        row = report(
+            f'train step (batch={b}, {"bf16" if bf16 else "fp32"})',
+            cost, assume_ms / 1e3, PEAKS['TPU v5e'])
+        row['timing_source'] = 'assumed_ms (prior measured TPU run)'
+        return row
+
     state, metrics = compiled(state, batch)
     float(metrics['total'])
     times = []
@@ -190,9 +203,25 @@ def main():
                    help='eval program only (train compile is ~35 min '
                         'cold through the remote tunnel)')
     p.add_argument('--skip_eval', action='store_true')
+    p.add_argument('--assume_train_ms', type=float, nargs=2, default=None,
+                   metavar=('FP32_MS', 'BF16_MS'),
+                   help='skip train timing; report MFU from cost_analysis '
+                        'of THIS compile (works on CPU) at the given '
+                        'measured TPU ms/step (bench_train.py numbers)')
+    p.add_argument('--cpu', action='store_true',
+                   help='force the CPU backend (for --assume_train_ms '
+                        'FLOPs extraction without a TPU compile); uses '
+                        'its own compile-cache dir so it never contends '
+                        'with TPU work (CLAUDE.md one-at-a-time rule)')
     args = p.parse_args()
 
     import jax
+    if args.cpu:
+        # env vars alone are unreliable under this machine's
+        # sitecustomize — the config update is what sticks (CLAUDE.md).
+        jax.config.update('jax_platforms', 'cpu')
+        jax.config.update('jax_compilation_cache_dir',
+                          os.path.expanduser('~/.cache/jax_stmask_cpu'))
     dev = jax.devices()[0]
     peaks = peak_for(dev)
     print(f'device: {dev.device_kind} — peaks used: {peaks[0]} bf16 '
@@ -203,8 +232,9 @@ def main():
         rows.append(eval_program(args.repeats))
         print(json.dumps(rows[-1]), flush=True)
     if not args.skip_train:
-        for bf16 in (False, True):
-            rows.append(train_program(bf16, args.repeats))
+        for i, bf16 in enumerate((False, True)):
+            assume = args.assume_train_ms[i] if args.assume_train_ms else None
+            rows.append(train_program(bf16, args.repeats, assume_ms=assume))
             print(json.dumps(rows[-1]), flush=True)
 
     print('\nprogram | ms/call | GFLOP/call | TFLOP/s | MFU% | GB/s | '
