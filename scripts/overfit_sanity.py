@@ -99,6 +99,13 @@ def main():
                    help='model preset — FCB (_ada/_ali) and R101 (_base*) '
                         'presets validate the deformable-v1 training '
                         'adjoint through the aligned heads (VERDICT r3 #5)')
+    p.add_argument('--remat', action='store_true',
+                   help='rematerialize the forward (jax.checkpoint). '
+                        'Needed for FCB (_ada/_ali) presets at batch 4: '
+                        'their deformable-gather corner temps push the '
+                        'fp32 train step to 15.6G HBM (> the 15.75G v5e '
+                        'budget, OOM by 260M); remat trades ~1.3x FLOPs '
+                        'for fitting')
     args = p.parse_args()
 
     if args.cpu:
@@ -144,7 +151,7 @@ def main():
     x0 = jnp.zeros((1, 2, cfg.pad_h, cfg.pad_w, 3))
     params = model.init(jax.random.PRNGKey(0), x0, train=True)
     train_step, init_state = build_train_step(
-        cfg, model,
+        cfg, model, remat=args.remat,
         compute_dtype=jnp.bfloat16 if args.bf16 else None)
     state = init_state(params)
 

@@ -141,6 +141,30 @@ def deform_conv2d_window(x: jax.Array,
         # zero-padded bilinear corner weight for integer corner u
         return jnp.maximum(0.0, 1.0 - jnp.abs(d - u)).astype(x.dtype)
 
+    # Hoist the distinct static slices: the absolute shift
+    # ``row0 = i*dil + ui`` collides across (tap, corner) pairs whenever
+    # ``dilation < n_win`` (always, for the 3x3 dil=1 backbone DCNs), so a
+    # 3x3 kernel with r=2 has only 8x8 distinct shifts behind its 9x36
+    # terms.  Sharing one ``lax.slice`` per distinct shift matters for the
+    # ADJOINT, not the forward (XLA CSEs identical forward slices anyway):
+    # jax AD emits one transpose-pad per slice *equation in the jaxpr*, and
+    # each pad writes a full [B,H,W,Cin] tensor to HBM.  With per-term
+    # slices that was 324 pads per DCN layer = 61% of the whole bf16
+    # batch-4 train step (229 ms/step, profiled round 4); with shared
+    # slices every user's cotangent is accumulated elementwise before ONE
+    # pad per distinct shift (64/layer) — see PARITY.md round-4 train
+    # roofline for the before/after.
+    slices = {}
+
+    def xs_at(row0, col0):
+        if (row0, col0) not in slices:
+            slices[(row0, col0)] = jax.lax.slice(
+                xp, (0, row0, col0, 0),
+                (b, row0 + (ho - 1) * stride + 1,
+                 col0 + (wo - 1) * stride + 1, cin),
+                (1, stride, stride, 1))
+        return slices[(row0, col0)]
+
     vals = []
     for t in range(k):
         i, j = t // kw, t % kw
@@ -156,12 +180,7 @@ def deform_conv2d_window(x: jax.Array,
             inner = jnp.zeros((b, ho, wo, cin), x.dtype)
             for vi in range(n_win):
                 col0 = j * dilation + vi
-                xs = jax.lax.slice(
-                    xp, (0, row0, col0, 0),
-                    (b, row0 + (ho - 1) * stride + 1,
-                     col0 + (wo - 1) * stride + 1, cin),
-                    (1, stride, stride, 1))
-                inner = inner + hat(dx, vi - r) * xs
+                inner = inner + hat(dx, vi - r) * xs_at(row0, col0)
             acc = acc + hat(dy, ui - r) * inner
         if m_t is not None:
             acc = acc * m_t.astype(x.dtype)

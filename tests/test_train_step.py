@@ -154,3 +154,26 @@ def test_frozen_bn_params_do_not_update(setup):
         aff1 = bn_leaves(state2.params, ('scale', 'bias'))
         moved = any(not np.array_equal(aff0[k], aff1[k]) for k in aff0)
         assert moved == affine_may_move, f'freeze_bn={freeze}'
+
+
+def test_remat_step_matches_plain(setup):
+    """remat=True (jax.checkpoint around the forward) must be a pure
+    memory/FLOPs trade: same losses and same updated params as the plain
+    step.  This is the fit-FCB-in-HBM path (overfit_sanity --remat)."""
+    model, params = setup
+    batch = _synthetic_batch(TINY)
+
+    plain_step, init_state = build_train_step(TINY, model)
+    remat_step, _ = build_train_step(TINY, model, remat=True)
+    s_plain, m_plain = plain_step(init_state(params), batch)
+    s_remat, m_remat = remat_step(init_state(params), batch)
+
+    for k in m_plain:
+        np.testing.assert_allclose(np.asarray(m_plain[k]),
+                                   np.asarray(m_remat[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    a = jax.tree_util.tree_leaves(s_plain.params)
+    b = jax.tree_util.tree_leaves(s_remat.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-6)
