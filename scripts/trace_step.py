@@ -51,9 +51,12 @@ def main():
                          'sequential program')
     ap.add_argument('--streams', type=int, default=8)
     ap.add_argument('--chunk', type=int, default=10)
+    ap.add_argument('--config', default='STMask_plus_resnet50',
+                    help='preset to profile (e.g. STMask_plus_resnet50_ada '
+                         'to see the FCB deformable-alignment cost)')
     args = ap.parse_args()
 
-    cfg = get_config('STMask_plus_resnet50')
+    cfg = get_config(args.config)
     model = STMask(cfg)
     x0 = jnp.zeros((1, cfg.pad_h, cfg.pad_w, 3))
     params = model.init(jax.random.PRNGKey(0), x0, train=False)

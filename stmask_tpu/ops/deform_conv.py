@@ -19,6 +19,7 @@ underneath without changing the interface.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -88,6 +89,184 @@ def deform_conv2d(x: jax.Array,
     return out
 
 
+def _window_slices(xp: jax.Array, ho: int, wo: int, stride: int):
+    """Shared strided static slices of the padded input, keyed by the
+    absolute shift (row0, col0).
+
+    Hoisting ONE ``lax.slice`` per distinct shift matters for the plain-AD
+    adjoint (see :func:`deform_conv2d_window`): the absolute shift
+    ``row0 = i*dil + ui`` collides across (tap, corner) pairs whenever
+    ``dilation < n_win``, so a 3x3/r=2 window has only 8x8 distinct shifts
+    behind its 9x36 terms, and jax AD emits one transpose-pad per slice
+    *equation in the jaxpr*."""
+    b, _, _, cin = xp.shape
+    cache = {}
+
+    def at(row0: int, col0: int) -> jax.Array:
+        if (row0, col0) not in cache:
+            cache[(row0, col0)] = jax.lax.slice(
+                xp, (0, row0, col0, 0),
+                (b, row0 + (ho - 1) * stride + 1,
+                 col0 + (wo - 1) * stride + 1, cin),
+                (1, stride, stride, 1))
+        return cache[(row0, col0)]
+
+    return at
+
+
+def _window_vals(xp: jax.Array, hy: jax.Array, hx: jax.Array,
+                 kh: int, kw: int, stride: int, dilation: int) -> jax.Array:
+    """Dense window gather: per tap t, ``sum_{u,v} hy[t,u]*hx[t,v]*shift(xp)``.
+
+    Args:
+      xp: [B, Hp, Wp, Cin] input, already padded so every
+        (tap base + window corner) shift is a valid static slice.
+      hy/hx: [B, ho, wo, K, n_win] bilinear hat weights per tap and
+        integer window corner.
+    Returns:
+      [B, ho, wo, K, Cin] gathered (unmasked) tap values.
+    """
+    b, hp, wp, cin = xp.shape
+    _, ho, wo, k, n_win = hy.shape
+    xs_at = _window_slices(xp, ho, wo, stride)
+    vals = []
+    for t in range(k):
+        i, j = t // kw, t % kw
+        # index via slices (adjoint = pad) — fancy indexing like
+        # ``hx[..., t, vi, None]`` lowers to gather (adjoint = scatter)
+        hy_t = jax.lax.index_in_dim(hy, t, axis=3, keepdims=False)
+        hx_t = jax.lax.index_in_dim(hx, t, axis=3, keepdims=False)
+        acc = jnp.zeros((b, ho, wo, cin), xp.dtype)
+        for ui in range(n_win):
+            row0 = i * dilation + ui
+            inner = jnp.zeros((b, ho, wo, cin), xp.dtype)
+            for vi in range(n_win):
+                col0 = j * dilation + vi
+                inner = inner + (jax.lax.index_in_dim(hx_t, vi, axis=3)
+                                 * xs_at(row0, col0))
+            acc = acc + jax.lax.index_in_dim(hy_t, ui, axis=3) * inner
+        vals.append(acc)
+    return jnp.stack(vals, axis=3)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_window_gather(kh: int, kw: int, stride: int, dilation: int):
+    """Window gather with a hand-written adjoint whose input-cotangent is
+    pad-free up to O(1) pads.
+
+    Plain AD through :func:`_window_vals` transposes every shared input
+    slice into a full-size zero-pad — 64 per 3x3/r=2 layer, each writing a
+    whole [B,H,W,Cin] gradient tensor to HBM (measured 46 ms of the 163 ms
+    bf16 batch-4 train step, round 4).  This custom VJP computes d_xp
+    directly: pad the upstream cotangent (and the hat weights) ONCE, then
+    accumulate one fused slice-multiply term per (tap, corner) into a
+    per-stride-parity-class accumulator and interleave the classes — same
+    multiply count as AD, O(1) pads instead of O(shifts).
+    """
+
+    @jax.custom_vjp
+    def gather(xp, hy, hx):
+        return _window_vals(xp, hy, hx, kh, kw, stride, dilation)
+
+    def fwd(xp, hy, hx):
+        return _window_vals(xp, hy, hx, kh, kw, stride, dilation), \
+            (xp, hy, hx)
+
+    def bwd(res, g):
+        xp, hy, hx = res
+        b, hp, wp, cin = xp.shape
+        _, ho, wo, k, n_win = hy.shape
+        s = stride
+        f32 = jnp.float32
+
+        # ---- d_hy / d_hx: recompute the forward slices (reads of xp —
+        # cheap) and share the per-term channel reduction
+        # S[t,u,v] = <xs(t,u,v), g_t>_c between both hat gradients.
+        xs_at = _window_slices(xp, ho, wo, s)
+        d_hy_t, d_hx_t = [], []
+        for t in range(k):
+            i, j = t // kw, t % kw
+            g_t = jax.lax.index_in_dim(g, t, axis=3, keepdims=False)
+            s_map = {}
+            for ui in range(n_win):
+                for vi in range(n_win):
+                    xs = xs_at(i * dilation + ui, j * dilation + vi)
+                    s_map[(ui, vi)] = jnp.sum(
+                        (xs * g_t).astype(f32), axis=-1)   # [b,ho,wo]
+            hy_t = jax.lax.index_in_dim(hy, t, axis=3, keepdims=False)
+            hx_t = jax.lax.index_in_dim(hx, t, axis=3, keepdims=False)
+            d_hy_t.append(jnp.stack(
+                [sum(hx_t[..., vi].astype(f32) * s_map[(ui, vi)]
+                     for vi in range(n_win)) for ui in range(n_win)],
+                axis=-1))
+            d_hx_t.append(jnp.stack(
+                [sum(hy_t[..., ui].astype(f32) * s_map[(ui, vi)]
+                     for ui in range(n_win)) for vi in range(n_win)],
+                axis=-1))
+        d_hy = jnp.stack(d_hy_t, axis=3).astype(hy.dtype)
+        d_hx = jnp.stack(d_hx_t, axis=3).astype(hx.dtype)
+
+        # ---- d_xp: parity-class col2im.  Input position p receives the
+        # (t,u,v) term iff p = row0 + o*stride for an output position o, so
+        # group terms by (row0 % s, col0 % s): inside a class the shift
+        # grid is stride-1 and every term is a static slice of the ONE
+        # padded cotangent stack, fused by XLA into the class accumulator.
+        r_h = (kh - 1) * dilation + n_win - 1    # max row0
+        r_w = (kw - 1) * dilation + n_win - 1
+        hp_c = -(-hp // s)                       # class plane sizes
+        wp_c = -(-wp // s)
+        lo_h, lo_w = r_h // s, r_w // s          # max in-class shift
+        padcfg = ((0, 0, 0),
+                  (lo_h, max(0, hp_c - ho), 0),
+                  (lo_w, max(0, wp_c - wo), 0),
+                  (0, 0, 0), (0, 0, 0))
+        gp = jax.lax.pad(g, jnp.zeros((), g.dtype), padcfg)
+        hyp = jax.lax.pad(hy, jnp.zeros((), hy.dtype), padcfg)
+        hxp = jax.lax.pad(hx, jnp.zeros((), hx.dtype), padcfg)
+
+        caches = ({}, {}, {})
+
+        def csl(arr, which, rc, cc):
+            cache = caches[which]
+            if (rc, cc) not in cache:
+                cache[(rc, cc)] = jax.lax.slice(
+                    arr, (0, lo_h - rc, lo_w - cc, 0, 0),
+                    (b, lo_h - rc + hp_c, lo_w - cc + wp_c) + arr.shape[3:])
+            return cache[(rc, cc)]
+
+        accs = {(cy, cx): jnp.zeros((b, hp_c, wp_c, cin), xp.dtype)
+                for cy in range(s) for cx in range(s)}
+        for t in range(k):
+            i, j = t // kw, t % kw
+            for ui in range(n_win):
+                row0 = i * dilation + ui
+                cy, rc = row0 % s, row0 // s
+                for vi in range(n_win):
+                    col0 = j * dilation + vi
+                    cx, cc = col0 % s, col0 // s
+                    d_t = jax.lax.index_in_dim(
+                        csl(gp, 0, rc, cc), t, axis=3, keepdims=False)
+                    hy_s = jax.lax.index_in_dim(jax.lax.index_in_dim(
+                        csl(hyp, 1, rc, cc), t, axis=3, keepdims=False),
+                        ui, axis=3, keepdims=False)
+                    hx_s = jax.lax.index_in_dim(jax.lax.index_in_dim(
+                        csl(hxp, 2, rc, cc), t, axis=3, keepdims=False),
+                        vi, axis=3, keepdims=False)
+                    accs[(cy, cx)] = accs[(cy, cx)] + \
+                        (hy_s * hx_s)[..., None] * d_t
+        if s == 1:
+            d_xp = accs[(0, 0)][:, :hp, :wp]
+        else:
+            oc = jnp.stack([jnp.stack([accs[(cy, cx)] for cx in range(s)])
+                            for cy in range(s)])   # [s, s, b, hp_c, wp_c, c]
+            d_xp = oc.transpose(2, 3, 0, 4, 1, 5).reshape(
+                b, hp_c * s, wp_c * s, cin)[:, :hp, :wp]
+        return d_xp.astype(xp.dtype), d_hy, d_hx
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
 def deform_conv2d_window(x: jax.Array,
                          offset: jax.Array,
                          weight: jax.Array,
@@ -95,7 +274,8 @@ def deform_conv2d_window(x: jax.Array,
                          bias: Optional[jax.Array] = None,
                          stride: int = 1,
                          dilation: int = 1,
-                         radius: int = 2) -> jax.Array:
+                         radius: int = 2,
+                         custom_adjoint: bool = True) -> jax.Array:
     """Window-clamped deformable conv: dense static-shift formulation.
 
     Offsets are clamped to ``[-radius, radius]`` cells, which turns the
@@ -112,6 +292,14 @@ def deform_conv2d_window(x: jax.Array,
     bilinear exactly); offsets outside are clipped — the documented TPU
     deviation for training (reference DCNv2 is unclamped).
 
+    ``custom_adjoint=True`` (the default) routes the gather through
+    :func:`_make_window_gather`, whose hand-written VJP computes the input
+    cotangent with O(1) pads instead of one full-size transpose-pad per
+    distinct shift (the remaining 28% of the bf16 train step after the
+    round-4 shared-slice fix).  ``False`` keeps plain jax AD through the
+    same forward — the reference point the custom adjoint is tested
+    against.
+
     Args match :func:`deform_conv2d`; ``radius`` >= 1.
     """
     b, h, w, cin = x.shape
@@ -123,10 +311,10 @@ def deform_conv2d_window(x: jax.Array,
     r = int(radius)
     n_win = 2 * r + 2
 
-    # NOTE on adjoint cleanliness: weights are sliced per tap with
-    # ``lax.slice_in_dim`` (transpose = static pad) rather than gathered
-    # from a stacked [..,K,U] tensor (transpose = scatter-add).
+    # slice start: oy*stride - pad_h + i*dil + (ui - r) + top
+    #            = oy*stride + i*dil + ui
     offc = jnp.clip(offset, -r, r).astype(jnp.float32)   # [B,ho,wo,2K]
+    offc = offc.reshape(b, ho, wo, k, 2)
 
     # pad so every (tap base + window corner) is a valid static slice
     top = pad_h + r
@@ -137,56 +325,25 @@ def deform_conv2d_window(x: jax.Array,
                 - (w - 1))
     xp = jnp.pad(x, ((0, 0), (top, bot), (left, right), (0, 0)))
 
-    def hat(d, u):
-        # zero-padded bilinear corner weight for integer corner u
-        return jnp.maximum(0.0, 1.0 - jnp.abs(d - u)).astype(x.dtype)
+    # zero-padded bilinear corner weights for the integer corners
+    # u in [-r, r+1] (hat functions; clamped fetches get zero weight)
+    corners = jnp.arange(n_win, dtype=jnp.float32) - r
+    # index_in_dim (a slice; adjoint = pad) rather than offc[..., 0, None]
+    # (jnp lowers int+newaxis indexing to gather; adjoint = scatter)
+    dy = jax.lax.index_in_dim(offc, 0, axis=4, keepdims=True)
+    dx = jax.lax.index_in_dim(offc, 1, axis=4, keepdims=True)
+    hy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - corners)
+                     ).astype(x.dtype)                   # [B,ho,wo,K,n_win]
+    hx = jnp.maximum(0.0, 1.0 - jnp.abs(dx - corners)
+                     ).astype(x.dtype)
 
-    # Hoist the distinct static slices: the absolute shift
-    # ``row0 = i*dil + ui`` collides across (tap, corner) pairs whenever
-    # ``dilation < n_win`` (always, for the 3x3 dil=1 backbone DCNs), so a
-    # 3x3 kernel with r=2 has only 8x8 distinct shifts behind its 9x36
-    # terms.  Sharing one ``lax.slice`` per distinct shift matters for the
-    # ADJOINT, not the forward (XLA CSEs identical forward slices anyway):
-    # jax AD emits one transpose-pad per slice *equation in the jaxpr*, and
-    # each pad writes a full [B,H,W,Cin] tensor to HBM.  With per-term
-    # slices that was 324 pads per DCN layer = 61% of the whole bf16
-    # batch-4 train step (229 ms/step, profiled round 4); with shared
-    # slices every user's cotangent is accumulated elementwise before ONE
-    # pad per distinct shift (64/layer) — see PARITY.md round-4 train
-    # roofline for the before/after.
-    slices = {}
-
-    def xs_at(row0, col0):
-        if (row0, col0) not in slices:
-            slices[(row0, col0)] = jax.lax.slice(
-                xp, (0, row0, col0, 0),
-                (b, row0 + (ho - 1) * stride + 1,
-                 col0 + (wo - 1) * stride + 1, cin),
-                (1, stride, stride, 1))
-        return slices[(row0, col0)]
-
-    vals = []
-    for t in range(k):
-        i, j = t // kw, t % kw
-        dy = jax.lax.slice_in_dim(offc, 2 * t, 2 * t + 1, axis=3)
-        dx = jax.lax.slice_in_dim(offc, 2 * t + 1, 2 * t + 2, axis=3)
-        m_t = (jax.lax.slice_in_dim(mask, t, t + 1, axis=3)
-               if mask is not None else None)
-        acc = jnp.zeros((b, ho, wo, cin), x.dtype)
-        for ui in range(n_win):
-            # slice start: oy*stride - pad_h + i*dil + (ui - r) + top
-            #            = oy*stride + i*dil + ui
-            row0 = i * dilation + ui
-            inner = jnp.zeros((b, ho, wo, cin), x.dtype)
-            for vi in range(n_win):
-                col0 = j * dilation + vi
-                inner = inner + hat(dx, vi - r) * xs_at(row0, col0)
-            acc = acc + hat(dy, ui - r) * inner
-        if m_t is not None:
-            acc = acc * m_t.astype(x.dtype)
-        vals.append(acc)
-
-    vals = jnp.stack(vals, axis=3).reshape(b, ho, wo, k * cin)
+    if custom_adjoint:
+        vals = _make_window_gather(kh, kw, stride, dilation)(xp, hy, hx)
+    else:
+        vals = _window_vals(xp, hy, hx, kh, kw, stride, dilation)
+    if mask is not None:
+        vals = vals * mask.astype(x.dtype)[..., None]
+    vals = vals.reshape(b, ho, wo, k * cin)
     out = jnp.dot(vals, weight.reshape(k * cin, cout),
                   preferred_element_type=jnp.float32).astype(x.dtype)
     if bias is not None:
