@@ -208,6 +208,12 @@ def main():
                    help='skip train timing; report MFU from cost_analysis '
                         'of THIS compile (works on CPU) at the given '
                         'measured TPU ms/step (bench_train.py numbers)')
+    p.add_argument('--train_precision', default='both',
+                   choices=['both', 'fp32', 'bf16'],
+                   help='which train-step precision(s) to report — bf16 '
+                        'alone skips the fp32 compile (each is ~35 min '
+                        'cold on TPU; pick the one the compile cache '
+                        'already holds)')
     p.add_argument('--cpu', action='store_true',
                    help='force the CPU backend (for --assume_train_ms '
                         'FLOPs extraction without a TPU compile); uses '
@@ -233,6 +239,9 @@ def main():
         print(json.dumps(rows[-1]), flush=True)
     if not args.skip_train:
         for i, bf16 in enumerate((False, True)):
+            if args.train_precision != 'both' and \
+                    bf16 != (args.train_precision == 'bf16'):
+                continue
             assume = args.assume_train_ms[i] if args.assume_train_ms else None
             rows.append(train_program(bf16, args.repeats, assume_ms=assume))
             print(json.dumps(rows[-1]), flush=True)
