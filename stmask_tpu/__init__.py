@@ -18,7 +18,15 @@ try:
     import jax as _jax
     if (not _jax.config.jax_compilation_cache_dir
             and not _os.environ.get('STMASK_NO_COMPILE_CACHE')):
-        _cache = _os.path.expanduser('~/.cache/jax_stmask')
+        # CPU-forced processes (the tests' CLI subprocesses run with
+        # JAX_PLATFORMS=cpu) get the CPU cache dir the suite itself uses
+        # (tests/conftest.py): entries are platform-keyed either way, but
+        # sharing one dir with TPU work serializes both processes on the
+        # cache's file lock (CLAUDE.md one-benchmark-at-a-time rule).
+        _name = ('jax_stmask_cpu'
+                 if _os.environ.get('JAX_PLATFORMS', '').startswith('cpu')
+                 else 'jax_stmask')
+        _cache = _os.path.expanduser('~/.cache/' + _name)
         _os.makedirs(_cache, exist_ok=True)
         _jax.config.update('jax_compilation_cache_dir', _cache)
         _jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)

@@ -212,7 +212,12 @@ def test_eval_display_lincomb_cli(tmp_path):
          '--img_prefix', str(tmp_path / 'imgs'),
          '--display_dir', str(tmp_path / 'disp'),
          '--mask_det_file', str(tmp_path / 'res.json')],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=1500)
+        # Cold CPU compile of the debug video step is minutes; under a
+        # contended machine it blew a 1500 s budget once (round-4 suite run
+        # concurrent with TPU benchmarks). The subprocess now shares the
+        # suite's persistent CPU compile cache, so only the first-ever run
+        # pays the compile at all.
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=2700)
     assert r.returncode == 0, r.stderr[-2000:]
     files = os.listdir(tmp_path / 'disp')
     assert '00001_0000.png' in files and '00001_0001.png' in files
