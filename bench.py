@@ -84,6 +84,46 @@ def _load_info() -> dict:
 CHUNK = 10      # frames per dispatch (lax.scan)
 
 
+def _wait_for_device(max_wait_s: float = 600.0) -> dict:
+    """Block until the accelerator answers a trivial op; retry with backoff.
+
+    The TPU in this environment is network-attached through a tunnel that
+    can drop transiently (observed round 4: ~50 min into a run every
+    compile RPC failed with "Connection refused (os error 111)" on
+    127.0.0.1, and an in-process probe HUNG rather than erroring until the
+    tunnel returned).  A benchmark that dies — or hangs — on the first
+    blip produces a failed driver artifact for an environmental reason, so
+    probe from a killable subprocess first and only then initialize this
+    process's backend."""
+    import subprocess
+    import sys
+
+    t0 = time.perf_counter()
+    attempt = 0
+    probe = ('import jax, jax.numpy as jnp; '
+             'print(float(jnp.ones((4,), jnp.float32).sum()))')
+    while True:
+        attempt += 1
+        err = ''
+        try:
+            r = subprocess.run([sys.executable, '-c', probe],
+                               capture_output=True, text=True, timeout=150)
+            if r.returncode == 0 and '4.0' in r.stdout:
+                return {'wait_s': round(time.perf_counter() - t0, 1),
+                        'attempts': attempt}
+            err = (r.stderr or r.stdout).strip()[-300:]
+        except subprocess.TimeoutExpired:
+            err = 'probe hung >150s (tunnel accepting but stalled?)'
+        waited = time.perf_counter() - t0
+        if waited > max_wait_s:
+            raise RuntimeError(
+                f'device unreachable after {waited:.0f}s '
+                f'({attempt} probes); last error: {err}')
+        print(f'[bench] device probe failed (attempt {attempt}, '
+              f'+{waited:.0f}s): {err}', file=sys.stderr, flush=True)
+        time.sleep(min(60.0, 10.0 * attempt))
+
+
 def _drain(x) -> float:
     """True device sync: under this environment's remote-tunnel client,
     ``block_until_ready`` returns without waiting for execution (measured
@@ -143,6 +183,7 @@ def main(streams=(1, 4, 8), repeats=5, config='STMask_plus_resnet50'):
     from stmask_tpu.models import STMask
 
     load = _load_info()
+    load['device_probe'] = _wait_for_device()
     cfg = get_config(config)
     model = STMask(cfg)
     rng = jax.random.PRNGKey(0)
@@ -185,6 +226,7 @@ def main_e2e(batch_videos: int, chunk_frames: int = 10,
     and overstate the postprocess/transfer cost.
     """
     import sys
+    _wait_for_device()
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), 'scripts'))
     import eval as eval_script
