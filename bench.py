@@ -182,7 +182,10 @@ def main(streams=(1, 4, 8), repeats=5, config='STMask_plus_resnet50'):
     from stmask_tpu.inference import cast_params
     from stmask_tpu.models import STMask
 
+    from stmask_tpu.utils.hostguard import wait_for_quiet_host
+
     load = _load_info()
+    load['hostguard'] = wait_for_quiet_host()
     load['device_probe'] = _wait_for_device()
     cfg = get_config(config)
     model = STMask(cfg)
@@ -226,6 +229,8 @@ def main_e2e(batch_videos: int, chunk_frames: int = 10,
     and overstate the postprocess/transfer cost.
     """
     import sys
+    from stmask_tpu.utils.hostguard import wait_for_quiet_host
+    wait_for_quiet_host()
     _wait_for_device()
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), 'scripts'))

@@ -115,6 +115,9 @@ def main():
         import jax as _jax
         _jax.config.update('jax_debug_nans', True)
 
+    from stmask_tpu.utils.hostguard import wait_for_quiet_host
+    wait_for_quiet_host(max_wait_s=300.0)
+
     import jax
     import jax.numpy as jnp
     from stmask_tpu.config import get_config
