@@ -67,6 +67,13 @@ def main():
     # client block_until_ready returns without waiting for execution
     state, metrics = train_step(state, batch)
     float(metrics['total'])
+    # guard AFTER compile (contention during compile is harmless), BEFORE
+    # the timed loop — this host has one CPU and a competing python
+    # process inflates dispatch time ~10% (PARITY.md round-4 table)
+    from stmask_tpu.utils.hostguard import wait_for_quiet_host
+    guard = wait_for_quiet_host(max_wait_s=600.0)
+    if guard.get('competitors'):
+        print(f'# CONTENDED: {guard}')
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, metrics = train_step(state, batch)

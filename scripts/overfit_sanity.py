@@ -79,9 +79,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument('--steps', type=int, default=400)
     p.add_argument('--batch_size', type=int, default=4)
-    # NOTE: losses are frame-SUMS at reference scale (8 frames at batch 4),
-    # so per-frame-mean-equivalent lr is /8 of the round-1 value 2e-3
-    p.add_argument('--lr', type=float, default=2.5e-4)
+    # NOTE: round 5 restored the reference's global /F loss normalization
+    # (multibox_loss.py:214 — per-frame means for the multibox group), so
+    # the stable lr is back at the round-1 per-frame-mean value
+    p.add_argument('--lr', type=float, default=2e-3)
     p.add_argument('--out', default='/tmp/overfit_sanity')
     p.add_argument('--save_ckpt', action='store_true',
                    help='save the trained params (orbax) to <out>/ckpt — '

@@ -9,6 +9,19 @@ plus the dormant reference knobs D (coeff diversity), P (proto
 regularization), MIoU (direct mask-IoU), I (FastMaskIoUNet) — every
 reference loss key is producible by some config.
 
+Normalization (fixed in round 5): the reference divides every loss computed
+inside ``multibox_loss`` by the flattened frame count F
+(``multibox_loss.py:214`` — the individual loss functions are frame sums
+with per-frame positive weights, then one global ``/= batch_size`` where
+batch_size is ``2*clips``), while the track loss and the temporal-shift
+losses are attached AFTER that division (``multibox_loss.py:107-118``) and
+carry their own normalization (T: /sum of pair weights, B_shift/M_shift:
+/clips).  ``compute_losses`` reproduces exactly that split: the individual
+functions below stay reference-scale frame sums, and the final dict divides
+all but T/B_shift/M_shift by F.  Rounds 2-4 skipped the global division,
+which over-weighted the anchor losses relative to T and the shift losses by
+F (8x at batch 4) — found by the round-5 gradient-parity audit.
+
 Deliberate TPU deviations (documented for the parity audit):
   * mask losses are computed at prototype resolution against downsampled gt
     masks instead of upsampling predictions to image resolution
@@ -98,10 +111,9 @@ def box_loss(cfg: STMaskConfig, priors: jax.Array, preds: Dict,
              t: MatchedTargets) -> jax.Array:
     """DIoU box loss (multibox_loss.py:169-172) or smooth-L1.
 
-    Normalization matches the reference exactly: per-frame-normalized
-    positive weights SUMMED over frames (no /F) — the loss scales with the
-    frame count, which is what the published lr/batch autoscaling recipe
-    (train.py:88-96) was tuned against.
+    Frame SUM with per-frame-normalized positive weights — the reference's
+    pre-division form; ``compute_losses`` applies the global /F
+    (multibox_loss.py:214) once for the whole multibox group.
     """
     if cfg.use_boxiou_loss:
         decoded = decode(preds['loc'], priors[None])
@@ -285,15 +297,19 @@ def maskiou_direct_loss(cfg: STMaskConfig, priors: jax.Array, preds: Dict,
 def class_existence_loss(cfg: STMaskConfig, class_logits: jax.Array,
                          gt_labels: jax.Array, gt_valid: jax.Array,
                          alpha: float = 1.0) -> jax.Array:
-    """Multitask image-level class-existence BCE (multibox_loss use of
-    'classes'; reference STMask.py:300-301)."""
+    """Multitask image-level class-existence BCE.  The reference computes
+    the 'classes' logits (STMask.py:300-301) but defines NO loss for them
+    (no 'E' key anywhere in multibox_loss.py; 'E' is absent from
+    train.py's loss_types) — this is our completion of that dead branch,
+    normalized like the multibox group (frame sum here, global /F in
+    compute_losses)."""
     f, ncls = class_logits.shape
     onehot = jax.nn.one_hot(gt_labels - 1, ncls) * \
         gt_valid[..., None].astype(jnp.float32)
     target = jnp.minimum(jnp.sum(onehot, axis=1), 1.0)      # [F, C-1]
     loss = jnp.maximum(class_logits, 0) - class_logits * target \
         + jnp.log1p(jnp.exp(-jnp.abs(class_logits)))
-    return alpha * jnp.sum(loss) / f
+    return alpha * jnp.sum(loss)
 
 
 def centerness_loss(cfg: STMaskConfig, priors: jax.Array, preds: Dict,
@@ -580,4 +596,11 @@ def compute_losses(cfg: STMaskConfig, preds: Dict, gt: Dict,
     if cfg.use_semantic_segmentation_loss and 'segm' in preds:
         losses['S'] = semantic_segmentation_loss(
             cfg, preds['segm'], gt['masks_p3'], gt['labels'], gt['valid'])
-    return losses
+    # Global frame-count division (reference multibox_loss.py:214): every
+    # loss computed inside multibox_loss is divided by the flattened frame
+    # count; T and B_shift/M_shift are attached after that division
+    # (multibox_loss.py:107-118) with their own normalization, so they are
+    # exempt.  See the module docstring for the round-5 history.
+    f = t.pos.shape[0]
+    exempt = ('T', 'B_shift', 'M_shift')
+    return {k: (v if k in exempt else v / f) for k, v in losses.items()}

@@ -2,8 +2,9 @@
 
 Mirrors reference ``train.py:88-96`` (autoscale: the reference checks
 ``batch_size*2 != 8`` and scales by ``batch_size*2/8`` — i.e. the
-published lr/iteration recipe's baseline is 4 clips = 8 FRAMES per step,
-matching the frame-sum loss normalization) and ``train.py:294-302``
+published lr/iteration recipe's baseline is 4 clips = 8 FRAMES per step;
+the losses are per-frame means, so lr scales linearly with batch as in
+the standard recipe) and ``train.py:294-302``
 (warmup from ``lr_warmup_init`` over ``lr_warmup_until`` iters; gamma
 step decay at ``lr_steps``).
 """

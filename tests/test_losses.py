@@ -352,6 +352,39 @@ def test_losses_scale_linearly_with_frames():
                                    err_msg=fn.__name__)
 
 
+def test_compute_losses_global_frame_division():
+    """Reference multibox_loss.py:214: the multibox-group losses are
+    divided by the flattened frame count (so duplicating the batch leaves
+    them unchanged — per-frame means), while T (multibox_loss.py:113,
+    internally /sum-of-pair-weights) and B_shift/M_shift (:107-111,
+    internally /clips) are attached after that division and must NOT be
+    divided again.  Found-by-audit regression test for the round-5 fix."""
+    rng = np.random.RandomState(11)
+    gt = _gt(rng)
+    preds = _preds(rng)
+    pj = jnp.asarray(P)
+
+    l1 = L.compute_losses(CFG, preds, gt, pj)
+    gt2 = {k: jnp.concatenate([v, v]) for k, v in gt.items()}
+    preds2 = {k: jnp.concatenate([v, v]) for k, v in preds.items()}
+    l2 = L.compute_losses(CFG, preds2, gt2, pj)
+
+    # per-frame means: invariant under batch duplication
+    for k in ('BIoU', 'C', 'center', 'M'):
+        np.testing.assert_allclose(float(l2[k]), float(l1[k]), rtol=1e-4,
+                                   err_msg=k)
+    # T is pairwise over ALL positives in the flattened batch (reference
+    # multibox_loss.py:328-351) — duplicating the batch creates new
+    # cross-copy pairs, so it is NOT duplication-invariant; just assert it
+    # was not divided by F (it must be unchanged by the global division).
+    t1 = L.match_batch(CFG, pj, preds, gt)
+    raw_t = float(L.track_loss(CFG, preds, t1))
+    np.testing.assert_allclose(float(l1['T']), raw_t, rtol=1e-6)
+    # and the raw component functions stay reference-scale frame SUMS
+    raw = float(L.box_loss(CFG, pj, preds, t1))
+    np.testing.assert_allclose(float(l1['BIoU']), raw / F, rtol=1e-6)
+
+
 def test_crowd_neutralizes_negative_anchor_end_to_end():
     """VERDICT #7: a negative anchor overlapping an iscrowd region (IoA >
     crowd_iou_threshold) must become neutral (conf_t == -1) when crowds are
