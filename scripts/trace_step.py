@@ -27,15 +27,24 @@ def _print_top_device_ops(trace_dir, n_frames):
     with gzip.open(sorted(files)[-1], 'rt') as f:
         trace = json.load(f)
     durs = {}
+    counts = {}
     for ev in trace.get('traceEvents', []):
         if ev.get('ph') == 'X' and 'dur' in ev:
             name = ev.get('name', '?')
             durs.setdefault(name, 0)
+            counts.setdefault(name, 0)
             durs[name] += ev['dur']
+            counts[name] += 1
+    total = sum(durs.values())
+    print(f'total device-op time {total/1000:.3f} ms '
+          f'({total/1000/max(n_frames,1):.4f} ms/frame)')
     top = sorted(durs.items(), key=lambda kv: -kv[1])[:40]
-    for name, d in top:
-        print(f'{d/1000:10.3f} ms  {d/1000/n_frames:8.4f} ms/frame  '
-              f'{name[:100]}')
+    cum = 0
+    for i, (name, d) in enumerate(top):
+        cum += d
+        print(f'{i+1:3d} {d/1000:10.3f} ms {100*d/max(total,1):5.1f}% '
+              f'cum {100*cum/max(total,1):5.1f}% x{counts[name]:<5d} '
+              f'{d/1000/n_frames:8.4f} ms/frame  {name[:90]}')
 
 
 def main():

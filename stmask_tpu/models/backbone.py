@@ -47,6 +47,10 @@ class DCNConv(nn.Module):
                            bias_init=nn.initializers.zeros,
                            name='conv_offset_mask')(x)
         offset, mask = dcn_v2_offsets(conv_out, k)
+        # observability hook (no-op unless 'intermediates' is mutable):
+        # scripts/dcn_clip_rate.py measures how often |offset| exceeds the
+        # training window radius (VERDICT r4 #2)
+        self.sow('intermediates', 'dcn_offsets', offset)
         weight = self.param(
             'kernel', nn.initializers.he_normal(), (3, 3, x.shape[-1],
                                                     self.features))

@@ -55,12 +55,28 @@ def smooth_l1(x: jax.Array, y: jax.Array) -> jax.Array:
 
 
 def _bce(pred: jax.Array, target: jax.Array) -> jax.Array:
-    # NOTE: the clip epsilon must be representable against 1.0 in fp32 —
-    # 1 - 1e-10 rounds to exactly 1.0 and log(1-p) returns -inf once the
-    # sigmoid saturates, which then NaN-poisons masked (0-weight) lanes.
-    eps = 1e-6
-    p = jnp.clip(pred, eps, 1.0 - eps)
-    return -(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p))
+    """BCE on probabilities with torch's ``F.binary_cross_entropy``
+    clamp semantics: each log term is clamped at -100, so an exactly-zero
+    prediction against target 1 costs 100 (the reference's mask losses
+    hit this on every gt pixel outside the crop window — box-cropped
+    predictions are exactly 0 there).  Round-5 parity fix: the previous
+    eps=1e-6 clip charged 13.8 instead of 100 for those pixels, deflating
+    M / M_shift by ~4x on typical fixtures.
+
+    NaN safety: the two sides are computed separately (no ``1 - eps``
+    rounding to 1.0 in fp32), the log argument is floored at a *normal*
+    fp32 value (TPU flushes subnormals, so flooring at torch's exact
+    exp(-100) = 3.7e-44 would produce log(0) = -inf), and the -100 branch
+    is a ``where`` over that floored value so no infinite cotangent can
+    leak through the unselected branch.  Only predictions in the
+    subnormal band (0, 1e-37) differ from torch (we say -100, torch says
+    log p in (-100, -85)); a sigmoid only lands there for logits < -85.
+    """
+    tiny = 1e-37
+    lp = jnp.where(pred < tiny, -100.0, jnp.log(jnp.maximum(pred, tiny)))
+    q = 1.0 - pred
+    lq = jnp.where(q < tiny, -100.0, jnp.log(jnp.maximum(q, tiny)))
+    return -(target * lp + (1.0 - target) * lq)
 
 
 class MatchedTargets(NamedTuple):
@@ -184,7 +200,17 @@ def focal_conf_sigmoid_loss(cfg: STMaskConfig, preds: Dict,
 def focal_conf_loss(cfg: STMaskConfig, preds: Dict,
                     t: MatchedTargets) -> jax.Array:
     """Softmax focal loss over OHEM-selected samples
-    (multibox_loss.py:459-477)."""
+    (multibox_loss.py:459-477).
+
+    Parity with reference DEAD CODE: the reference defines this variant
+    (``multibox_loss.py:459``) but never dispatches it — its conf-loss
+    switch (``multibox_loss.py:195-200``) routes only to
+    ``focal_conf_sigmoid_loss`` (``use_sigmoid_focal_loss``) or OHEM.
+    ``compute_losses`` mirrors that switch exactly, so this function is
+    equally unreachable from any config; it is kept, unit-tested
+    (``test_losses.py::test_focal_conf_softmax_dead_code_parity``), for
+    the same hypothetical focal experiments — deliberately unwired,
+    exactly like ``merge_candidates`` (tracker.py)."""
     f, p, ncls = preds['conf'].shape
     conf = preds['conf'].reshape(-1, ncls)
     conf_t = t.conf_t.reshape(-1)

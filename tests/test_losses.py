@@ -134,6 +134,33 @@ def test_focal_loss_finite():
     assert np.isfinite(loss) and loss > 0
 
 
+def test_focal_conf_softmax_dead_code_parity():
+    """focal_conf_loss is reference-dead-code parity (defined at
+    multibox_loss.py:459, never dispatched at :195-200): assert (1) it is
+    NOT reachable through compute_losses under any focal flag, and (2) the
+    function itself computes a finite positive value with the documented
+    OHEM-selection semantics, so it stays correct if ever wired."""
+    rng = np.random.RandomState(12)
+    gt = _gt(rng)
+    preds = _preds(rng)
+    priors = jnp.asarray(P)
+    t = L.match_batch(CFG, priors, preds, gt)
+
+    loss = float(L.focal_conf_loss(CFG, preds, t))
+    assert np.isfinite(loss) and loss > 0
+
+    # dispatch check: sigmoid flag routes to the sigmoid variant, default
+    # routes to OHEM — the softmax focal value appears under neither
+    got_default = float(L.compute_losses(CFG, preds, gt, priors)['C'])
+    cfg_sig = CFG.replace(use_sigmoid_focal_loss=True)
+    got_sig = float(L.compute_losses(cfg_sig, preds, gt, priors)['C'])
+    f = preds['conf'].shape[0]
+    assert got_default == float(L.ohem_conf_loss(CFG, preds, t)) / f
+    assert got_sig == float(L.focal_conf_sigmoid_loss(cfg_sig, preds, t)) / f
+    assert not np.isclose(loss / f, got_default) \
+        and not np.isclose(loss / f, got_sig)
+
+
 def test_semantic_segmentation_loss():
     rng = np.random.RandomState(5)
     gt = _gt(rng)

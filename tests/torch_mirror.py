@@ -376,6 +376,21 @@ class TTemporalNet(nn.Module):
         return self.fc(x), self.fc_coeff(x)
 
 
+def correlate_torch(x1, x2, patch=11):
+    """Local correlation cost volume (reference
+    track_to_segment_head.py:40-62 semantics): channel dot products over a
+    patch x patch displacement window, zero padded, /C, leaky_relu(0.1);
+    output channel (dy+r)*patch + (dx+r).  x1, x2: [B, C, H, W]."""
+    b, c, h, w = x1.shape
+    r = (patch - 1) // 2
+    x2p = F.pad(x2, (r, r, r, r))
+    outs = []
+    for dy in range(patch):
+        for dx in range(patch):
+            outs.append((x1 * x2p[:, :, dy:dy + h, dx:dx + w]).sum(1))
+    return F.leaky_relu(torch.stack(outs, dim=1) / c, 0.1)
+
+
 class TSTMask(nn.Module):
     """Full eval-forward mirror producing reference-style state_dict keys."""
 
@@ -411,6 +426,35 @@ class TSTMask(nn.Module):
         outs['proto'] = proto
         outs['T2S_feat'] = t2s[1]
         outs['fpn_feat'] = fpn_outs[1]
+        return outs
+
+    def forward_train(self, x):
+        """Train-mode forward (reference STMask.py:284-301): [B,2,3,H,W]
+        clips flattened to frames, raw conf (no softmax), plus the
+        cross-frame correlation concat on FPN level 1.  Returns tensors in
+        the JAX side's layouts (channel-last proto / T2S_concat_feat)."""
+        b, nf, c, h, w = x.shape
+        bb = self.backbone(x.reshape(b * nf, c, h, w))
+        fpn_outs = self.fpn(bb[1:4])
+        proto = F.relu(self.proto_net(fpn_outs[0]))
+        proto = proto.permute(0, 2, 3, 1).contiguous()
+
+        head = self.prediction_layers[0]
+        outs = {}
+        t2s = []
+        for f in fpn_outs:
+            p = head(f)
+            t2s.append(p.pop('T2S_feat'))
+            for k, v in p.items():
+                outs.setdefault(k, []).append(v)
+        outs = {k: torch.cat(v, dim=1) for k, v in outs.items()}
+        outs['proto'] = proto
+
+        fsel = fpn_outs[1]
+        corr = correlate_torch(fsel[0::2], fsel[1::2])
+        tsel = t2s[1]
+        concat = F.relu(torch.cat([corr, tsel[0::2], tsel[1::2]], dim=1))
+        outs['T2S_concat_feat'] = concat.permute(0, 2, 3, 1)
         return outs
 
     def mirror_state_dict(self):
