@@ -60,9 +60,10 @@ def main():
     source = 'init'
     if args.ckpt:
         import orbax.checkpoint as ocp
-        restored = ocp.StandardCheckpointer().restore(
-            os.path.abspath(args.ckpt), params['params'])
-        params = {'params': restored}
+        # overfit_sanity --save_ckpt stores the full variables dict
+        # (with the 'params' wrapper)
+        params = ocp.StandardCheckpointer().restore(
+            os.path.abspath(args.ckpt), params)
         source = args.ckpt
     elif args.mirror:
         import torch
