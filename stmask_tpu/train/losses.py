@@ -409,7 +409,18 @@ def maskiou_loss(cfg: STMaskConfig, maskiou_fn, priors: jax.Array,
     target preparation + :655-676 ``mask_iou_loss``): the subnet predicts
     per-class mask IoU of each assembled soft mask vs its gt; smooth-L1 on
     the gt-class channel, samples with tiny downsampled-gt area discarded
-    (``discard_mask_area``)."""
+    (``discard_mask_area``).
+
+    Parity note: 'I' is dead in every STMask preset (``use_maskiou=False``)
+    AND the reference's target builder is broken as written — its
+    ``_mask_iou`` (multibox_loss.py:655-662) reduces dims (0, 1) of
+    [n, h, w] masks, i.e. over samples and rows, yielding a [w]-shaped
+    "IoU".  This implementation computes the *intended* Mask-Scoring
+    per-sample IoU target (unit-tested); the subnet input is detached
+    (``stop_gradient``) so 'I' trains only the subnet, the standard
+    Mask-Scoring setup — both choices documented here because
+    reference-exact gradient parity is unattainable for a target that is
+    shape-invalid in the reference."""
     f = t.pos.shape[0]
 
     def per_frame(proto, coeff_all, loc, conf_t, idx_t, pos, gmasks):
@@ -595,7 +606,9 @@ def compute_losses(cfg: STMaskConfig, preds: Dict, gt: Dict,
             losses['C'] = focal_conf_sigmoid_loss(cfg, preds, t)
         else:
             losses['C'] = ohem_conf_loss(cfg, preds, t)
-    if cfg.train_centerness:
+    # the reference computes 'center' inside ohem_conf_loss
+    # (multibox_loss.py:450-455) — the sigmoid-focal branch never emits it
+    if cfg.train_centerness and not cfg.use_sigmoid_focal_loss:
         losses['center'] = centerness_loss(cfg, priors, preds, t)
     if cfg.train_masks:
         losses['M'] = lincomb_mask_loss(cfg, priors, preds, t,

@@ -220,6 +220,28 @@ def test_loss_value_and_gradient_parity(seed):
 
 
 @pytest.mark.slow
+def test_loss_parity_smooth_l1_and_sigmoid_focal():
+    """The alternate live branches: 'B' (smooth-L1 box,
+    use_boxiou_loss=False) and sigmoid-focal 'C' (which suppresses the
+    centerness loss per the reference dispatch, multibox_loss.py:195-200)
+    — values + input grads."""
+    cfg = CFG.replace(use_boxiou_loss=False, use_sigmoid_focal_loss=True)
+    preds_np, gt_np = _fixture(11)
+    tnet, fnet, tn_params, torch_tn = _temporal_pair(11)
+
+    jl, jg, _ = _jax_losses_and_grads(cfg, preds_np, gt_np, tn_params, fnet)
+    tl, tg, _ = _torch_losses_and_grads(cfg, preds_np, gt_np, tnet,
+                                        torch_tn)
+    assert 'B' in jl and 'C' in jl and 'center' not in jl
+    assert set(jl) == set(tl)
+    for k in sorted(jl):
+        _assert_close(jl[k], tl[k], 1e-4, 1e-6, f'loss value {k}')
+    for k in ('loc', 'conf'):
+        scale = max(np.abs(tg[k]).max(), 1e-3)
+        _assert_close(jg[k], tg[k], 1e-3, 1e-4 * scale, f'grad d/d {k}')
+
+
+@pytest.mark.slow
 def test_loss_parity_dormant_knobs():
     """D (coeff diversity), P (proto l1), MIoU, S — values + grads."""
     cfg = CFG.replace(mask_proto_coeff_diversity_loss=True,

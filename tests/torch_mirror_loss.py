@@ -257,6 +257,25 @@ class RefMultiBoxLoss:
             losses['center'] = cfg.center_alpha * (pos_weights * lcn).sum()
         return losses
 
+    # --- sigmoid focal conf (multibox_loss.py:479-511) ---
+    def focal_conf_sigmoid_loss(self, conf_data, conf_t):
+        cfg = self.cfg
+        f = conf_t.size(0)
+        conf_t = conf_t.reshape(-1).clone()
+        conf_data = conf_data.reshape(-1, cfg.num_classes)
+        keep = (conf_t >= 0).float()
+        conf_t[conf_t < 0] = 0
+        one_t = torch.eye(cfg.num_classes)[conf_t]
+        pm_t = one_t * 2 - 1
+        logpt = F.logsigmoid(conf_data * pm_t)
+        pt = logpt.exp()
+        at = cfg.focal_loss_alpha * one_t \
+            + (1 - cfg.focal_loss_alpha) * (1 - one_t)
+        at[..., 0] = 0
+        loss = -at * (1 - pt) ** cfg.focal_loss_gamma * logpt
+        loss = keep * loss.sum(dim=-1)
+        return {'C': cfg.conf_alpha * loss.sum() / keep.sum() * f}
+
     # --- track (multibox_loss.py:328-351) ---
     def track_loss(self, pos_weights_per_img, track_data, conf_t, ids_t):
         cfg = self.cfg
@@ -455,10 +474,16 @@ class RefMultiBoxLoss:
                     / (20 * 20 / 70 / 70) * 0.1
 
         if cfg.train_class:
-            losses.update(self.ohem_conf_loss(
-                pos_weights, preds['conf'], conf_t,
-                preds['centerness'][..., 0] if cfg.train_centerness
-                else None, preds['loc'], priors, gt_boxes_t))
+            if cfg.use_sigmoid_focal_loss:
+                # centerness lives in the OHEM branch only
+                # (multibox_loss.py:195-200 dispatch)
+                losses.update(self.focal_conf_sigmoid_loss(
+                    preds['conf'], conf_t))
+            else:
+                losses.update(self.ohem_conf_loss(
+                    pos_weights, preds['conf'], conf_t,
+                    preds['centerness'][..., 0] if cfg.train_centerness
+                    else None, preds['loc'], priors, gt_boxes_t))
 
         if cfg.use_semantic_segmentation_loss and 'segm' in preds:
             losses['S'] = self.semantic_segmentation_loss(
