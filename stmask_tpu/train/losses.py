@@ -488,6 +488,12 @@ def track_to_segment_loss(cfg: STMaskConfig, temporal_net_fn,
     exists in the *next* frame regress the gt box shift (encode next-gt
     against ref-gt) through TemporalNet over RoIAligned correlation features;
     plus BCE of the shifted masks against next-frame gt masks.
+
+    Deviation note: the crop-area normalization here clamps the gt box
+    width/height at 1 pixel like the lincomb loss does; the reference's
+    t2s branch divides by the raw gt size (multibox_loss.py:316-320, no
+    clamp) and would blow up on degenerate gt boxes.  Identical whenever
+    the gt box spans >= 1 prototype cell.
     """
     concat = preds['T2S_concat_feat']                 # [B, H4, W4, C]
     b, h4, w4, _ = concat.shape

@@ -272,6 +272,65 @@ def test_loss_parity_dormant_knobs():
     assert 'MIoU' in jl
 
 
+def test_matcher_fuzz_vs_reference_loop():
+    """40 random frames with 1..6 gts (incl. heavily overlapping ones)
+    through the vectorized matcher vs the sequential torch port — integer
+    outputs identical (the SURVEY §7.3 #4 'matcher fidelity' risk)."""
+    from stmask_tpu.ops.matcher import match as jmatch
+
+    @jax.jit
+    def run(gt_boxes, gt_labels, gt_ids, gt_valid, conf):
+        return jmatch(CFG.positive_iou_threshold,
+                      CFG.negative_iou_threshold,
+                      gt_boxes, gt_labels, gt_ids, gt_valid,
+                      jnp.asarray(PRIORS), conf)
+
+    for trial in range(40):
+        rng = np.random.RandomState(1000 + trial)
+        n = rng.randint(1, G + 1)
+        boxes = np.zeros((G, 4), np.float32)
+        labels = np.zeros((G,), np.int32)
+        ids = np.zeros((G,), np.int32)
+        valid = np.zeros((G,), bool)
+        base = None
+        for j in range(n):
+            if base is not None and rng.rand() < 0.4:
+                # heavily overlapping with a previous gt (multi-instance
+                # veto territory)
+                jitter = rng.uniform(-0.05, 0.05, 4)
+                b = np.clip(base + jitter, 0, 1)
+                if b[2] - b[0] < 0.05:
+                    b[2] = min(1.0, b[0] + 0.05)
+                if b[3] - b[1] < 0.05:
+                    b[3] = min(1.0, b[1] + 0.05)
+            else:
+                w, h = rng.uniform(0.1, 0.6, 2)
+                x1 = rng.uniform(0, 1 - w)
+                y1 = rng.uniform(0, 1 - h)
+                b = np.array([x1, y1, x1 + w, y1 + h])
+                base = b
+            boxes[j] = b
+            labels[j] = rng.randint(1, CFG.num_classes)
+            ids[j] = j + 1
+            valid[j] = True
+        conf = rng.randn(NP_, CFG.num_classes).astype(np.float32)
+
+        res = run(jnp.asarray(boxes), jnp.asarray(labels),
+                  jnp.asarray(ids), jnp.asarray(valid), jnp.asarray(conf))
+        _, conf_t, idx_t, ids_t = R.match(
+            CFG.positive_iou_threshold, CFG.negative_iou_threshold,
+            torch.from_numpy(boxes[:n]), torch.from_numpy(labels[:n]).long(),
+            torch.from_numpy(ids[:n]).long(), torch.from_numpy(PRIORS),
+            torch.from_numpy(conf))
+        np.testing.assert_array_equal(np.asarray(res.conf_t),
+                                      conf_t.numpy(), f'conf_t {trial}')
+        np.testing.assert_array_equal(np.asarray(res.ids_t),
+                                      ids_t.numpy(), f'ids_t {trial}')
+        pos = conf_t.numpy() > 0
+        np.testing.assert_array_equal(np.asarray(res.idx_t)[pos],
+                                      idx_t.numpy()[pos], f'idx_t {trial}')
+
+
 # --------------------------------------------------------------- Level B
 # Full-model gradient parity: torch mirror model -> mirror loss ->
 # autograd vs flax model (converted weights) -> compute_losses ->
