@@ -126,7 +126,8 @@ def eval_program(repeats: int) -> dict:
 
 
 def train_program(bf16: bool, repeats: int,
-                  assume_ms: float | None = None) -> dict:
+                  assume_ms: float | None = None,
+                  batch_size: int = 4) -> dict:
     import jax
     import jax.numpy as jnp
     from stmask_tpu.config import get_config
@@ -135,7 +136,7 @@ def train_program(bf16: bool, repeats: int,
 
     cfg = get_config('STMask_plus_resnet50')
     model = STMask(cfg)
-    b, g = 4, cfg.max_gt_per_frame
+    b, g = batch_size, cfg.max_gt_per_frame
     hp, wp = cfg.pad_h // 4, cfg.pad_w // 4
     rng = np.random.RandomState(0)
 
@@ -214,6 +215,10 @@ def main():
                         'alone skips the fp32 compile (each is ~35 min '
                         'cold on TPU; pick the one the compile cache '
                         'already holds)')
+    p.add_argument('--batch_size', type=int, default=4,
+                   help='train-step batch (clips) — matches the '
+                        'bench_train.py program of the same size, so a '
+                        'prior bench run leaves the compile cache warm')
     p.add_argument('--cpu', action='store_true',
                    help='force the CPU backend (for --assume_train_ms '
                         'FLOPs extraction without a TPU compile); uses '
@@ -243,7 +248,8 @@ def main():
                     bf16 != (args.train_precision == 'bf16'):
                 continue
             assume = args.assume_train_ms[i] if args.assume_train_ms else None
-            rows.append(train_program(bf16, args.repeats, assume_ms=assume))
+            rows.append(train_program(bf16, args.repeats, assume_ms=assume,
+                                      batch_size=args.batch_size))
             print(json.dumps(rows[-1]), flush=True)
 
     print('\nprogram | ms/call | GFLOP/call | TFLOP/s | MFU% | GB/s | '
