@@ -131,6 +131,15 @@ class STMaskConfig:
     use_dcn_class: bool = False
     use_dcn_track: bool = False
     use_dcn_mask: bool = False
+    # Training-path window radius for FCB deformable alignment (TPU
+    # deviation, same class as backbone dcn_window_radius): the exact
+    # gather's autodiff transpose is a scatter-add that XLA:TPU
+    # serializes (measured 7.1-8.0 s/step at batch 4 for _ada bf16);
+    # the window formulation's adjoint is scatter-free.  Radius 3 covers
+    # the ali analytic corner taps (grid +-2 x exp ramp) with headroom;
+    # eval always uses the exact gather.  0 restores the exact-gather
+    # training path.
+    fcb_window_radius: int = 3
 
     # ---- ProtoNet / lincomb masks (reference config.py:661-673) ----
     mask_proto_src: int = 0               # FPN level index (P3)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import STMaskConfig
-from ..ops.deform_conv import deform_conv2d
+from ..ops.deform_conv import deform_conv2d, deform_conv2d_window
 
 
 def _ali_offsets(shape: jax.Array, ks: Tuple[int, int]) -> jax.Array:
@@ -83,14 +83,23 @@ def _focal_conf_bias_init(cfg: STMaskConfig, n_scales: int):
 
 class FeatureAlign(nn.Module):
     """FCB: deformable alignment driven by the box branch
-    (reference Featurealign.py)."""
+    (reference Featurealign.py).
+
+    ``train=True`` with ``window_radius > 0`` routes the deformable conv
+    through the window-clamped dense-shift formulation
+    (``deform_conv2d_window``, scatter-free custom-VJP adjoint) — the
+    exact gather's AD transpose is a scatter-add that XLA:TPU serializes
+    into while-loops (measured: the _ada train step is ~70x the flagship
+    through the exact path).  Eval always takes the exact gather."""
     out_channels: int
     kernel_size: Tuple[int, int]
     use_pred_offset: bool = True     # ada=True, ali=False
     bias_init: Optional[object] = None   # final-conv bias init override
+    window_radius: int = 0
 
     @nn.compact
-    def __call__(self, x: jax.Array, shape: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, shape: jax.Array,
+                 train: bool = False) -> jax.Array:
         ks_h, ks_w = self.kernel_size
         k = ks_h * ks_w
         shape = jax.lax.stop_gradient(shape)
@@ -100,12 +109,20 @@ class FeatureAlign(nn.Module):
                              name='conv_offset')(shape)
         else:
             offset = _ali_offsets(shape, self.kernel_size)
+        # observability hook (scripts/dcn_clip_rate.py): fraction of
+        # |offset| above the training window radius
+        self.sow('intermediates', 'fcb_offsets', offset)
 
         in_ch = x.shape[-1]
         weight = self.param('adaption_kernel',
                             nn.initializers.normal(0.01),
                             (ks_h, ks_w, in_ch, in_ch))
-        x = nn.relu(deform_conv2d(x, offset, weight))
+        if train and self.window_radius > 0:
+            aligned = deform_conv2d_window(x, offset, weight,
+                                           radius=self.window_radius)
+        else:
+            aligned = deform_conv2d(x, offset, weight)
+        x = nn.relu(aligned)
         pad = ((ks_h - 1) // 2, (ks_w - 1) // 2)
         return nn.Conv(self.out_channels, (ks_h, ks_w), padding=pad,
                        bias_init=self.bias_init or nn.initializers.zeros,
@@ -117,7 +134,8 @@ class PredictionHead(nn.Module):
     cfg: STMaskConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> Dict[str, jax.Array]:
+    def __call__(self, x: jax.Array,
+                 train: bool = False) -> Dict[str, jax.Array]:
         c = self.cfg
         b, h, w, _ = x.shape
         n_scales = len(c.pred_scales[0])
@@ -160,7 +178,9 @@ class PredictionHead(nn.Module):
                     n_scales * c.num_classes, (kh, kw),
                     use_pred_offset=c.use_pred_offset,
                     bias_init=conf_bias,
-                    name=f'conf_align_{k_idx}')(conf_x, bbox_cur)
+                    window_radius=c.fcb_window_radius,
+                    name=f'conf_align_{k_idx}')(conf_x, bbox_cur,
+                                                train=train)
             else:
                 conf_cur = nn.Conv(n_scales * c.num_classes, (kh, kw),
                                    padding=pad,
@@ -173,7 +193,9 @@ class PredictionHead(nn.Module):
                 track_cur = FeatureAlign(
                     n_scales * c.embed_dim, (kh, kw),
                     use_pred_offset=c.use_pred_offset,
-                    name=f'track_align_{k_idx}')(track_x, bbox_cur)
+                    window_radius=c.fcb_window_radius,
+                    name=f'track_align_{k_idx}')(track_x, bbox_cur,
+                                                 train=train)
             else:
                 track_cur = nn.Conv(n_scales * c.embed_dim, (kh, kw),
                                     padding=pad,
@@ -184,7 +206,9 @@ class PredictionHead(nn.Module):
                 mask_cur = FeatureAlign(
                     n_scales * c.mask_proto_n, (kh, kw),
                     use_pred_offset=c.use_pred_offset,
-                    name=f'mask_align_{k_idx}')(mask_x, bbox_cur)
+                    window_radius=c.fcb_window_radius,
+                    name=f'mask_align_{k_idx}')(mask_x, bbox_cur,
+                                                train=train)
             else:
                 mask_cur = nn.Conv(n_scales * c.mask_proto_n, (kh, kw),
                                    padding=pad,

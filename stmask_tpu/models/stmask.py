@@ -87,7 +87,12 @@ class STMask(nn.Module):
         preds: Dict[str, List[jax.Array]] = {}
         t2s_feats = []
         for lvl, f in enumerate(fpn_outs):
-            p = self.prediction_head(f)
+            if c.head_type == 'legacy':
+                p = self.prediction_head(f)
+            else:
+                # train routes FCB alignment through the window-clamped
+                # scatter-free adjoint (heads.FeatureAlign docstring)
+                p = self.prediction_head(f, train=train)
             # the legacy YOLACT head carries no T2S feature; fall back to
             # the raw FPN level so the TF plumbing stays shape-stable
             t2s_feats.append(p.pop('T2S_feat', f))
