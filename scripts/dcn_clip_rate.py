@@ -6,10 +6,11 @@ The training path clamps backbone DCN offsets to ±dcn_window_radius cells
 This script quantifies the train/eval geometry gap: per DCN site, the
 fraction of offset components with |offset| > radius, plus max and p99.
 
-Scope note: FCB FeatureAlign (``models/heads.py:108``) uses the EXACT
-gather in training too — the clamp applies only to the backbone DCN
-sites measured here, so FCB-ali's box-scaled analytic offsets
-(``Featurealign.py:46-69``) are never clamped by construction.
+Round-5 update: FCB FeatureAlign now ALSO trains through the window
+formulation (``cfg.fcb_window_radius``, default 3 — the exact gather's
+scatter adjoint cost ~70x, see PARITY.md); this script therefore reports
+both the backbone ``dcn_offsets`` sites (vs ``dcn_window_radius``) and
+the FCB ``fcb_offsets`` sites (vs ``fcb_window_radius``).
 
 Weight sources:
   --ckpt <orbax dir>   trained params (overfit_sanity.py --save_ckpt)
@@ -112,15 +113,21 @@ def main():
         flat = jax.tree_util.tree_leaves_with_path(inter)
         for path, leaf in flat:
             names = [str(getattr(k, 'key', k)) for k in path]
-            if 'dcn_offsets' not in names:
+            if 'dcn_offsets' in names:
+                site = '/'.join(n for n in names
+                                if n.startswith('layer') or n == 'conv2')
+                r_site = radius
+            elif 'fcb_offsets' in names:
+                site = '/'.join(n for n in names if '_align_' in n)
+                r_site = cfg.fcb_window_radius
+            else:
                 continue
-            site = '/'.join(n for n in names
-                            if n.startswith('layer') or n == 'conv2')
             off = np.abs(np.asarray(leaf, np.float32))
             s = stats.setdefault(site, {'n': 0, 'clipped': 0,
-                                        'max': 0.0, 'vals': []})
+                                        'max': 0.0, 'vals': [],
+                                        'radius': r_site})
             s['n'] += off.size
-            s['clipped'] += int((off > radius).sum())
+            s['clipped'] += int((off > r_site).sum())
             s['max'] = max(s['max'], float(off.max()))
             s['vals'].append(np.percentile(off, 99))
         n_done += 1
@@ -135,7 +142,8 @@ def main():
         print(f'{site:28s} {rate:8.4f} {s["max"]:9.3f} {p99:7.3f}')
         rows.append({'site': site, 'clip_pct': round(rate, 4),
                      'max_abs': round(s['max'], 3),
-                     'p99': round(p99, 3)})
+                     'p99': round(p99, 3),
+                     'radius': s['radius']})
     worst = max((r['clip_pct'] for r in rows), default=0.0)
     print(json.dumps({'config': args.config, 'radius': radius,
                       'source': source, 'worst_clip_pct': worst,
