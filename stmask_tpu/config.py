@@ -135,11 +135,13 @@ class STMaskConfig:
     # deviation, same class as backbone dcn_window_radius): the exact
     # gather's autodiff transpose is a scatter-add that XLA:TPU
     # serializes (measured 7.1-8.0 s/step at batch 4 for _ada bf16);
-    # the window formulation's adjoint is scatter-free.  Radius 3 covers
-    # the ali analytic corner taps (grid +-2 x exp ramp) with headroom;
-    # eval always uses the exact gather.  0 restores the exact-gather
+    # the window formulation's adjoint is scatter-free.  Radius 2 chosen
+    # by measurement (scripts/dcn_clip_rate.py on the trained _ali
+    # checkpoint: worst FCB site max |offset| 1.48, p99 <= 0.43 — 0%
+    # clip at radius 2, and 36 vs 64 window terms vs radius 3); eval
+    # always uses the exact gather.  0 restores the exact-gather
     # training path.
-    fcb_window_radius: int = 3
+    fcb_window_radius: int = 2
 
     # ---- ProtoNet / lincomb masks (reference config.py:661-673) ----
     mask_proto_src: int = 0               # FPN level index (P3)
